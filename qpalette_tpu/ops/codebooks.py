@@ -1,0 +1,100 @@
+"""Codebook construction: trellis (TCQ) and vector/scalar (VQ/SQ) LUTs.
+
+Reference behavior:
+  - trellis codebook ``bitshift_codebook`` with decode_mode='quantlut_sym':
+    lib/codebook/bitshift.py:71-79,145-169 — a 2^tlut_bits × 2 k-means
+    codebook over N(0,1)² expanded to 2^16 trellis states via the hash
+    h = s*(s+1); bit 15 of h flips the sign of component 0 and bits
+    [16-tlut_bits-1, 16-1) index the small LUT.
+  - VQ codebook: lib/codebook/vq_codebook.py:8-44 — k-means over N(0,1)^vec.
+
+Both are cached on disk under assets/lut_cache (same resumability contract
+as reference bitshift.py:148-160 / vq_codebook.py:17-30).
+
+The trellis expansion keeps the reference's exact hash so distortion
+characteristics (and therefore the MSQ proxy-error tables) match; the
+*packed* format and state-transition convention differ (see ops/packing.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from qpalette_tpu.utils.kmeans import kmeans
+
+L = 16
+V = 2
+
+_ASSET_DIR = os.environ.get(
+    "QPALETTE_ASSETS",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+                 "assets"))
+
+
+def tlut_bits_for_kv(kv: int) -> int:
+    """Reference rule quantize_layer.py:32-34: KV≤8→9, 9→10, 10→11."""
+    if kv <= 8:
+        return 9
+    return kv + 1
+
+
+def _cache_path(name: str) -> str:
+    d = os.path.join(_ASSET_DIR, "lut_cache")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, name)
+
+
+@functools.lru_cache(maxsize=None)
+def trellis_tlut(tlut_bits: int, n_samples: int = 1 << 20) -> np.ndarray:
+    """2^tlut_bits × 2 k-means codebook over N(0,1)², std-normalized.
+
+    Normalization constant 0.9682458365518543 = sqrt(15/16) matches
+    reference bitshift.py:156-157.
+    """
+    path = _cache_path(f"tcq_tlut_{tlut_bits}.npy")
+    if os.path.exists(path):
+        return np.load(path)
+    rng = np.random.default_rng(1234 + tlut_bits)
+    data = rng.standard_normal((n_samples, 2)).astype(np.float32)
+    c = kmeans(data, 1 << tlut_bits, iters=40, seed=tlut_bits)
+    c = c / c.std() * 0.9682458365518543
+    c = c.astype(np.float32)
+    np.save(path, c)
+    return c
+
+
+@functools.lru_cache(maxsize=None)
+def trellis_lut(tlut_bits: int) -> np.ndarray:
+    """Expand tlut to the full 2^16-state LUT (quantlut_sym hash)."""
+    tlut = trellis_tlut(tlut_bits)
+    s = np.arange(1 << L, dtype=np.uint64)
+    h = (s + 1) * s
+    sflp = 1.0 - ((h >> 15) & 1).astype(np.float32) * 2.0
+    idx = (h >> np.uint64(16 - tlut_bits - 1)) & np.uint64((1 << tlut_bits) - 1)
+    lut = tlut[idx.astype(np.int64)].copy()
+    lut[:, 0] *= sflp
+    return lut  # (2^16, 2) float32
+
+
+@functools.lru_cache(maxsize=None)
+def vq_lut(lut_bits: int, vec_sz: int, n_samples: int = 1 << 20) -> np.ndarray:
+    """VQ/SQ codebook: k-means over N(0,1)^vec_sz -> (2^lut_bits, vec_sz)."""
+    path = _cache_path(f"vq_kmeans_{lut_bits}_{vec_sz}.npy")
+    if os.path.exists(path):
+        return np.load(path)
+    rng = np.random.default_rng(4321 + 64 * lut_bits + vec_sz)
+    data = rng.standard_normal((n_samples, vec_sz)).astype(np.float32)
+    c = kmeans(data, 1 << lut_bits, iters=40, seed=lut_bits * 7 + vec_sz)
+    c = c.astype(np.float32)
+    np.save(path, c)
+    return c
+
+
+def lut_rms(lut: np.ndarray) -> float:
+    """RMS of codebook values (used for Wscale normalization,
+    reference tcq_quant.py:127)."""
+    return float(np.sqrt(np.mean(np.asarray(lut, dtype=np.float64) ** 2)))

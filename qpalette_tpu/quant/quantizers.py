@@ -1,0 +1,185 @@
+"""Scheme-level weight quantizers: TCQ, comb/tcomb (fractional TCQ), VQ/SQ.
+
+Reference behavior:
+  - TCQ: lib/quantizer/tcq_quant.py:15-80 (qtip_quantize_mat)
+  - comb / tcomb fractional-bit split: lib/quantizer/comb_quant.py
+  - VQ-LDLQ: lib/quantizer/vq_quant_ldlq.py:11-65
+  - VQ-ALS ("sq_*"/"vq2_*"): lib/quantizer/vq_quant.py + nuq_op.py
+
+All quantizers consume an incoherence-rotated, row-normalized weight Wr and
+(optionally) a rotated Hessian, and emit packed codes in the TPU formats of
+ops/packing.py.  Everything is jit-compiled per (shape, scheme) — the
+trace-time specialization that replaces the reference's per-shape CUDA
+codegen (lib/linear/__init__.py:9-420).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qpalette_tpu.ops import packing
+from qpalette_tpu.ops.codebooks import trellis_lut, vq_lut, tlut_bits_for_kv
+from qpalette_tpu.quant.ldlq import block_ldl, ldlq, regularize_h
+from qpalette_tpu.quant.viterbi import tcq_quantize
+
+TD = 16
+
+
+def _ldl_or_zero(H: Optional[jax.Array], n: int, b: int):
+    if H is None:
+        return jnp.zeros((n, n), jnp.float32)
+    Hr = regularize_h(H.astype(jnp.float32))
+    L, _ = block_ldl(Hr, b)
+    return L.astype(jnp.float32)
+
+
+def _block_to_seqs(E: jax.Array) -> jax.Array:
+    """(m, 16) column block -> (m/16, 256) row-major tile sequences."""
+    m = E.shape[0]
+    return E.reshape(m // TD, TD, TD).reshape(m // TD, TD * TD)
+
+
+def _seqs_to_block(hat: jax.Array, m: int) -> jax.Array:
+    return hat.reshape(m // TD, TD, TD).reshape(m, TD)
+
+
+def _stack_tile_codes(states: jax.Array, m: int, n: int) -> jax.Array:
+    """ldlq-stacked states (n/16, m/16, 128) -> (T, 128) tile-row-major."""
+    return states.transpose(1, 0, 2).reshape((m // TD) * (n // TD), 256 // 2)
+
+
+@functools.partial(jax.jit, static_argnames=("KV", "tlut_bits", "use_hess"))
+def _tcq_core(Wr, H, KV: int, tlut_bits: int, use_hess: bool):
+    m, n = Wr.shape
+    lut = jnp.asarray(trellis_lut(tlut_bits))
+    L = _ldl_or_zero(H if use_hess else None, n, TD)
+
+    def qblock(E, _idx):
+        seqs = _block_to_seqs(E)
+        hat, states = tcq_quantize(seqs, lut, KV)
+        return _seqs_to_block(hat, m), states
+
+    hatW, states = ldlq(Wr, L, qblock, block=TD)
+    packed = packing.pack_trellis(_stack_tile_codes(states, m, n), KV)
+    return hatW, packed
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("KV1", "KV2", "tlut_bits", "use_hess"))
+def _combt_core(Wr, H, KV1: int, KV2: int, tlut_bits: int, use_hess: bool):
+    """Input-split fractional TCQ: columns [0, n/2) at KV1 bits, [n/2, n) at
+    KV2 bits, single LDLQ recursion switching codebooks at the midpoint
+    (reference LDLQ_combt, lib/algo/ldlq.py:128-203)."""
+    m, n = Wr.shape
+    lut1 = jnp.asarray(trellis_lut(tlut_bits))
+    lut2 = lut1
+    L = _ldl_or_zero(H if use_hess else None, n, TD)
+    half_blocks = (n // 2) // TD
+
+    def qblock(E, idx):
+        seqs = _block_to_seqs(E)
+
+        def q1(s):
+            return tcq_quantize(s, lut1, KV1)
+
+        def q2(s):
+            return tcq_quantize(s, lut2, KV2)
+
+        hat, states = jax.lax.cond(idx >= half_blocks, q2, q1, seqs)
+        return _seqs_to_block(hat, m), states
+
+    hatW, states = ldlq(Wr, L, qblock, block=TD)
+    # split codes at the midpoint and pack each half at its own bitrate
+    st = states.reshape(n // TD, m // TD, 128)
+    st1 = st[: half_blocks].transpose(1, 0, 2).reshape(-1, 128)
+    st2 = st[half_blocks:].transpose(1, 0, 2).reshape(-1, 128)
+    p1 = packing.pack_trellis(st1, KV1)
+    p2 = packing.pack_trellis(st2, KV2)
+    return hatW, p1, p2
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "vec", "use_hess"))
+def _vq_ldlq_core(Wr, H, bits: int, vec: int, use_hess: bool):
+    m, n = Wr.shape
+    lut = jnp.asarray(vq_lut(bits, vec))
+    lutf = lut.astype(jnp.float32)
+    norms = jnp.sum(lutf * lutf, axis=1)
+    L = _ldl_or_zero(H if use_hess else None, n, vec)
+
+    def qblock(E, _idx):
+        # E (m, vec): nearest centroid, MXU cross-term
+        cross = E.astype(jnp.float32) @ lutf.T  # (m, 2^bits)
+        idx = jnp.argmin(norms[None, :] - 2.0 * cross, axis=1)
+        hat = jnp.take(lutf, idx, axis=0)
+        return hat, idx.astype(jnp.int32)
+
+    hatW, codes = ldlq(Wr, L, qblock, block=vec)
+    idxs = codes.T  # (m, n/vec)
+    packed = packing.pack_rows(idxs, bits)
+    return hatW, packed
+
+
+# ---------------------------------------------------------------------------
+# public API: returns (packed artifact dict, hatWr) — hatWr is the
+# dequantized (still-rotated, unit-scale) weight for error reporting.
+# ---------------------------------------------------------------------------
+
+def quantize_mat_tcq(Wr, H, KV: int, use_hess: bool = False):
+    tlut_bits = tlut_bits_for_kv(KV)
+    hatW, packed = _tcq_core(Wr, H if H is not None else Wr[:1, :1] * 0,
+                             KV, tlut_bits, use_hess and H is not None)
+    linear = {
+        "kind": "tcq", "KV": KV, "tlut_bits": tlut_bits,
+        "trellis": np.asarray(packed),
+        "in_features": Wr.shape[1], "out_features": Wr.shape[0],
+    }
+    return linear, hatW
+
+
+def quantize_mat_combt(Wr, H, KV1: int, KV2: int, use_hess: bool = False):
+    tlut_bits = tlut_bits_for_kv(max(KV1, KV2))
+    hatW, p1, p2 = _combt_core(Wr, H if H is not None else Wr[:1, :1] * 0,
+                               KV1, KV2, tlut_bits,
+                               use_hess and H is not None)
+    n = Wr.shape[1]
+    linear = {
+        "kind": "tcomb", "KV1": KV1, "KV2": KV2, "tlut_bits": tlut_bits,
+        "trellis1": np.asarray(p1), "trellis2": np.asarray(p2),
+        "in_part": (n // 2, n // 2),
+        "in_features": n, "out_features": Wr.shape[0],
+    }
+    return linear, hatW
+
+
+def quantize_mat_comb(Wr, H, KV1: int, KV2: int, out_part, use_hess=False):
+    """Output-split fractional TCQ (reference comb_quant.py:29-100): rows
+    [0, out_part[0]) at KV1 bits, rest at KV2 — two independent TCQ runs."""
+    m0 = out_part[0] - out_part[0] % TD
+    l1, hat1 = quantize_mat_tcq(Wr[:m0], H, KV1, use_hess)
+    l2, hat2 = quantize_mat_tcq(Wr[m0:], H, KV2, use_hess)
+    hatW = jnp.concatenate([hat1, hat2], axis=0)
+    linear = {
+        "kind": "comb", "KV1": KV1, "KV2": KV2,
+        "tlut_bits": l1["tlut_bits"],
+        "trellis1": l1["trellis"], "trellis2": l2["trellis"],
+        "out_part": (m0, Wr.shape[0] - m0),
+        "in_features": Wr.shape[1], "out_features": Wr.shape[0],
+    }
+    return linear, hatW
+
+
+def quantize_mat_vq(Wr, H, bits: int, vec: int, use_hess: bool = False):
+    """VQ/SQ via LDLQ (quantizer_str family ldlq_{vec}_{bits})."""
+    hatW, packed = _vq_ldlq_core(Wr, H if H is not None else Wr[:1, :1] * 0,
+                                 bits, vec, use_hess and H is not None)
+    linear = {
+        "kind": "vq", "bits": bits, "vec": vec,
+        "qweight": np.asarray(packed),
+        "in_features": Wr.shape[1], "out_features": Wr.shape[0],
+    }
+    return linear, hatW
