@@ -1,0 +1,290 @@
+"""Llama model family with incoherent quantized linears, TPU-native.
+
+Reference behavior: model/incoherent_llama.py + lib/linear/incoherent_linear.py
+(IncoherentSdpaAttention :28-274, IncoherentMLP :279-394) — HF-module forks
+where every projection is an incoherence-wrapped quantized linear, with
+optional QKV/gate-up merging chosen by the MSQ solver.
+
+TPU-native design: pure-functional forward over a params pytree; all
+configuration (scheme kinds, shapes, merge layout) lives in hashable static
+specs so a single jit trace covers the whole model; decode uses a
+statically-shaped KV cache (the reference's StaticCache + torch.compile,
+model/cache_utils.py:1048, eval/measure_latency.py:122-161, becomes plain
+jit here).  Rotations (SU sign flips + Hadamard) are shared per block
+exactly as in the reference (one for q/k/v, one for o, one for up/gate, one
+for down — quantize_layer.py:116-123).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from qpalette_tpu.ops.hadamard import hadamard_transform_t
+from qpalette_tpu.runtime.qlinear import LinearSpec, qlinear_apply
+
+Params = Any  # nested dict pytree of jax arrays
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 128256
+    hidden_size: int = 4096
+    intermediate_size: int = 14336
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 8
+    head_dim: int = 128
+    rope_theta: float = 500000.0
+    rms_eps: float = 1e-5
+    tie_embeddings: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def kv_out(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+    @staticmethod
+    def llama31_8b() -> "LlamaConfig":
+        return LlamaConfig()
+
+    @staticmethod
+    def llama32_1b() -> "LlamaConfig":
+        return LlamaConfig(vocab_size=128256, hidden_size=2048,
+                           intermediate_size=8192, num_layers=16,
+                           num_heads=32, num_kv_heads=8, head_dim=64,
+                           rope_theta=500000.0, tie_embeddings=True)
+
+    @staticmethod
+    def llama32_3b() -> "LlamaConfig":
+        return LlamaConfig(vocab_size=128256, hidden_size=3072,
+                           intermediate_size=8192, num_layers=28,
+                           num_heads=24, num_kv_heads=8, head_dim=128,
+                           rope_theta=500000.0, tie_embeddings=True)
+
+    @staticmethod
+    def tiny(vocab: int = 256) -> "LlamaConfig":
+        """Small config for tests: every dim still tile-compatible."""
+        return LlamaConfig(vocab_size=vocab, hidden_size=128,
+                           intermediate_size=256, num_layers=2,
+                           num_heads=4, num_kv_heads=2, head_dim=32,
+                           rope_theta=10000.0)
+
+
+@dataclass(frozen=True)
+class AttnSpec:
+    """Static layout of one attention block.
+
+    merge ∈ {None, 'qk', 'kv', 'qv', 'qkv'} mirrors the reference merge
+    flags (incoherent_linear.py:69-74); merged projections share one fused
+    linear whose output is split after the matmul.
+    """
+    merge: Optional[str]
+    projs: tuple  # tuple[(name, LinearSpec)], e.g. (("qkv", spec), ("o", o))
+
+
+@dataclass(frozen=True)
+class MLPSpec:
+    merge_ug: bool
+    projs: tuple  # (("ug"|"up","gate"), ("down", spec))
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    config: LlamaConfig
+    layers: tuple  # tuple[(AttnSpec, MLPSpec)]
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def rope_tables(positions: jax.Array, head_dim: int, theta: float):
+    """positions (...,) -> cos/sin (..., head_dim)."""
+    inv = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32)
+                           / head_dim))
+    ang = positions[..., None].astype(jnp.float32) * inv  # (..., hd/2)
+    cos = jnp.cos(ang)
+    sin = jnp.sin(ang)
+    return (jnp.concatenate([cos, cos], axis=-1),
+            jnp.concatenate([sin, sin], axis=-1))
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x (..., heads, head_dim); HF-style rotate_half convention."""
+    h = x.shape[-1] // 2
+    x1, x2 = x[..., :h], x[..., h:]
+    rot = jnp.concatenate([-x2, x1], axis=-1)
+    return (x.astype(jnp.float32) * cos[..., None, :]
+            + rot.astype(jnp.float32) * sin[..., None, :]).astype(x.dtype)
+
+
+def _rotate_in(x: jax.Array, su: jax.Array) -> jax.Array:
+    """Incoherence rotation of activations: z = (x ⊙ SU) @ Ĥᵀ."""
+    return hadamard_transform_t(x * su).astype(x.dtype)
+
+
+def _attention(q, k, v, mask, cfg: LlamaConfig):
+    """q (B,S,h,d), k/v (B,T,hk,d); mask (S,T) additive."""
+    B, S, H, D = q.shape
+    rep = cfg.num_heads // cfg.num_kv_heads
+    k = jnp.repeat(k, rep, axis=2)
+    v = jnp.repeat(v, rep, axis=2)
+    qf = q.astype(jnp.float32) * (D ** -0.5)
+    logits = jnp.einsum("bshd,bthd->bhst", qf, k.astype(jnp.float32))
+    logits = logits + mask[None, None, :, :]
+    p = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhst,bthd->bshd", p, v.astype(jnp.float32))
+    return out.reshape(B, S, H * D).astype(q.dtype)
+
+
+def attn_forward(spec: AttnSpec, cfg: LlamaConfig, p: dict, x: jax.Array,
+                 cos, sin, kv_cache=None, cache_pos=None, mask=None,
+                 luts=None):
+    """x (B, S, hidden).  Returns (out, new_kv) where kv is (k, v) each
+    (B, T, hk, d)."""
+    B, S, N = x.shape
+    rotated = spec.projs[0][1].kind != "dense"
+    if rotated:
+        z = _rotate_in(x.reshape(-1, N), p["su_qkv"]).reshape(B, S, N)
+    else:
+        z = x
+    outs = {}
+    for name, lspec in spec.projs:
+        if name == "o":
+            continue
+        y = qlinear_apply(lspec, p[name], z.reshape(-1, N), luts)
+        outs[name] = y.reshape(B, S, -1)
+    hs, kv = cfg.hidden_size, cfg.kv_out
+    if spec.merge == "qkv":
+        q, k, v = jnp.split(outs["qkv"], [hs, hs + kv], axis=-1)
+    elif spec.merge == "qk":
+        q, k = jnp.split(outs["qk"], [hs], axis=-1)
+        v = outs["v"]
+    elif spec.merge == "kv":
+        k, v = jnp.split(outs["kv"], [kv], axis=-1)
+        q = outs["q"]
+    elif spec.merge == "qv":
+        q, v = jnp.split(outs["qv"], [hs], axis=-1)
+        k = outs["k"]
+    else:
+        q, k, v = outs["q"], outs["k"], outs["v"]
+
+    q = q.reshape(B, S, cfg.num_heads, cfg.head_dim)
+    k = k.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+    v = v.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if kv_cache is not None:
+        ck, cv = kv_cache  # (B, T, hk, d)
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
+                                          (0, cache_pos, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                          (0, cache_pos, 0, 0))
+        k_full, v_full, new_kv = ck, cv, (ck, cv)
+    else:
+        k_full, v_full, new_kv = k, v, (k, v)
+
+    att = _attention(q, k_full, v_full, mask, cfg)
+    if rotated:
+        zo = _rotate_in(att.reshape(-1, N), p["su_o"]).reshape(B, S, N)
+    else:
+        zo = att
+    oname, ospec = spec.projs[-1]
+    assert oname == "o"
+    out = qlinear_apply(ospec, p["o"], zo.reshape(-1, N),
+                        luts).reshape(B, S, N)
+    return out, new_kv
+
+
+def mlp_forward(spec: MLPSpec, cfg: LlamaConfig, p: dict, x: jax.Array,
+                luts=None):
+    B, S, N = x.shape
+    I = cfg.intermediate_size
+    rotated = spec.projs[0][1].kind != "dense"
+    z = (_rotate_in(x.reshape(-1, N), p["su_ug"]) if rotated
+         else x.reshape(-1, N))
+    if spec.merge_ug:
+        (ug_name, ug_spec), (_, d_spec) = spec.projs
+        y = qlinear_apply(ug_spec, p["ug"], z, luts)
+        up, gate = y[:, :I], y[:, I:]
+    else:
+        (_, u_spec), (_, g_spec), (_, d_spec) = spec.projs
+        up = qlinear_apply(u_spec, p["up"], z, luts)
+        gate = qlinear_apply(g_spec, p["gate"], z, luts)
+    h = jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)
+    h = h.astype(x.dtype)
+    zd = _rotate_in(h, p["su_dp"]) if rotated else h
+    out = qlinear_apply(d_spec, p["down"], zd, luts)
+    return out.reshape(B, S, N)
+
+
+def _causal_mask(S: int, T: int, offset) -> jax.Array:
+    """Additive mask: query i (global pos offset+i) sees keys <= its pos."""
+    q = jax.lax.broadcasted_iota(jnp.int32, (S, T), 0) + offset
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (S, T), 1)
+    return jnp.where(kpos <= q, 0.0, -1e30).astype(jnp.float32)
+
+
+def forward(spec: ModelSpec, params: Params, tokens: jax.Array,
+            kv_caches=None, cache_pos=None):
+    """tokens (B, S) -> logits (B, S, vocab).
+
+    With kv_caches (list per layer of (k, v) (B, T, hk, d)) runs the
+    incremental decode path, writing at cache_pos.
+    """
+    cfg = spec.config
+    B, S = tokens.shape
+    x = jnp.take(params["embed"], tokens, axis=0).astype(cfg.dtype)
+    if kv_caches is not None:
+        T = kv_caches[0][0].shape[1]
+        offset = cache_pos
+    else:
+        T = S
+        offset = 0
+    mask = _causal_mask(S, T, offset)
+    pos = jnp.arange(S)[None, :] + (cache_pos if kv_caches is not None else 0)
+    cos, sin = rope_tables(pos, cfg.head_dim, cfg.rope_theta)
+
+    luts = params.get("luts", {})
+    new_caches = []
+    for li, (aspec, mspec) in enumerate(spec.layers):
+        lp = params["layers"][li]
+        h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
+        a, kv = attn_forward(aspec, cfg, lp, h, cos, sin,
+                             kv_cache=None if kv_caches is None
+                             else kv_caches[li],
+                             cache_pos=cache_pos, mask=mask, luts=luts)
+        x = x + a
+        h = rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
+        x = x + mlp_forward(mspec, cfg, lp, h, luts=luts)
+        new_caches.append(kv)
+
+    x = rms_norm(x, params["ln_f"], cfg.rms_eps)
+    logits = x.astype(jnp.float32) @ params["lm_head"].T.astype(jnp.float32)
+    if kv_caches is not None:
+        return logits, new_caches
+    return logits
+
+
+def init_kv_caches(spec: ModelSpec, batch: int, max_seq: int):
+    cfg = spec.config
+    return [
+        (jnp.zeros((batch, max_seq, cfg.num_kv_heads, cfg.head_dim),
+                   cfg.dtype),
+         jnp.zeros((batch, max_seq, cfg.num_kv_heads, cfg.head_dim),
+                   cfg.dtype))
+        for _ in range(cfg.num_layers)
+    ]

@@ -53,10 +53,9 @@ def _stack_tile_codes(states: jax.Array, m: int, n: int) -> jax.Array:
     return states.transpose(1, 0, 2).reshape((m // TD) * (n // TD), 256 // 2)
 
 
-@functools.partial(jax.jit, static_argnames=("KV", "tlut_bits", "use_hess"))
-def _tcq_core(Wr, H, KV: int, tlut_bits: int, use_hess: bool):
+@functools.partial(jax.jit, static_argnames=("KV", "use_hess"))
+def _tcq_core(Wr, H, lut, KV: int, use_hess: bool):
     m, n = Wr.shape
-    lut = jnp.asarray(trellis_lut(tlut_bits))
     L = _ldl_or_zero(H if use_hess else None, n, TD)
 
     def qblock(E, _idx):
@@ -70,14 +69,13 @@ def _tcq_core(Wr, H, KV: int, tlut_bits: int, use_hess: bool):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("KV1", "KV2", "tlut_bits", "use_hess"))
-def _combt_core(Wr, H, KV1: int, KV2: int, tlut_bits: int, use_hess: bool):
+                   static_argnames=("KV1", "KV2", "use_hess"))
+def _combt_core(Wr, H, lut, KV1: int, KV2: int, use_hess: bool):
     """Input-split fractional TCQ: columns [0, n/2) at KV1 bits, [n/2, n) at
     KV2 bits, single LDLQ recursion switching codebooks at the midpoint
     (reference LDLQ_combt, lib/algo/ldlq.py:128-203)."""
     m, n = Wr.shape
-    lut1 = jnp.asarray(trellis_lut(tlut_bits))
-    lut2 = lut1
+    lut1 = lut2 = lut
     L = _ldl_or_zero(H if use_hess else None, n, TD)
     half_blocks = (n // 2) // TD
 
@@ -104,9 +102,8 @@ def _combt_core(Wr, H, KV1: int, KV2: int, tlut_bits: int, use_hess: bool):
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "vec", "use_hess"))
-def _vq_ldlq_core(Wr, H, bits: int, vec: int, use_hess: bool):
+def _vq_ldlq_core(Wr, H, lut, bits: int, vec: int, use_hess: bool):
     m, n = Wr.shape
-    lut = jnp.asarray(vq_lut(bits, vec))
     lutf = lut.astype(jnp.float32)
     norms = jnp.sum(lutf * lutf, axis=1)
     L = _ldl_or_zero(H if use_hess else None, n, vec)
@@ -131,8 +128,9 @@ def _vq_ldlq_core(Wr, H, bits: int, vec: int, use_hess: bool):
 
 def quantize_mat_tcq(Wr, H, KV: int, use_hess: bool = False):
     tlut_bits = tlut_bits_for_kv(KV)
+    lut = jnp.asarray(trellis_lut(tlut_bits))
     hatW, packed = _tcq_core(Wr, H if H is not None else Wr[:1, :1] * 0,
-                             KV, tlut_bits, use_hess and H is not None)
+                             lut, KV, use_hess and H is not None)
     linear = {
         "kind": "tcq", "KV": KV, "tlut_bits": tlut_bits,
         "trellis": np.asarray(packed),
@@ -143,8 +141,9 @@ def quantize_mat_tcq(Wr, H, KV: int, use_hess: bool = False):
 
 def quantize_mat_combt(Wr, H, KV1: int, KV2: int, use_hess: bool = False):
     tlut_bits = tlut_bits_for_kv(max(KV1, KV2))
+    lut = jnp.asarray(trellis_lut(tlut_bits))
     hatW, p1, p2 = _combt_core(Wr, H if H is not None else Wr[:1, :1] * 0,
-                               KV1, KV2, tlut_bits,
+                               lut, KV1, KV2,
                                use_hess and H is not None)
     n = Wr.shape[1]
     linear = {
@@ -175,8 +174,9 @@ def quantize_mat_comb(Wr, H, KV1: int, KV2: int, out_part, use_hess=False):
 
 def quantize_mat_vq(Wr, H, bits: int, vec: int, use_hess: bool = False):
     """VQ/SQ via LDLQ (quantizer_str family ldlq_{vec}_{bits})."""
+    lut = jnp.asarray(vq_lut(bits, vec))
     hatW, packed = _vq_ldlq_core(Wr, H if H is not None else Wr[:1, :1] * 0,
-                                 bits, vec, use_hess and H is not None)
+                                 lut, bits, vec, use_hess and H is not None)
     linear = {
         "kind": "vq", "bits": bits, "vec": vec,
         "qweight": np.asarray(packed),

@@ -96,8 +96,10 @@ def viterbi_encode(X: jax.Array, lut: jax.Array, KV: int,
         prev = (q << KV) | r
         return prev, s
 
-    _, states = jax.lax.scan(back, last, bps, reverse=True)  # (S-1, B)
-    states = jnp.concatenate([states, last[None, :]], axis=0)
+    # bps[j] holds pointers for the transition into time j+1; the reverse
+    # scan yields ys[j] = s_{j+1} and its final carry is s_0.
+    s0, states = jax.lax.scan(back, last, bps, reverse=True)  # (S-1, B)
+    states = jnp.concatenate([s0[None, :], states], axis=0)
     return states.T  # (B, S)
 
 

@@ -1,0 +1,428 @@
+"""Model assembly: qdict + artifacts -> (ModelSpec, params).
+
+Reference behavior:
+  - eval_qdict.load_model (:41-71): per layer×proj, quantize-on-demand if
+    the artifact is missing, then swap in the incoherent quantized linear.
+  - measure_latency.load_quant_model (:23-100): same plus merge_info-driven
+    QKV/gate-up fusion and --dummy random-weight mode
+    (lib/utils/mem_op.py:198-269).
+  - merge_infos row-concat semantics: lib/linear/incoherent_linear.py:232-248,
+    tcq_linear.py gen_layer_from_info/merge_infos (:86-122).
+
+The qdict maps "{layer}_{key}" -> quantizer_str (or (quantizer_str, simt)
+tuples, where the simt flag — a CUDA-core-vs-tensor-core choice on GPU —
+maps to the XLA-vs-Pallas impl choice on TPU).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from qpalette_tpu.models.llama import (AttnSpec, LlamaConfig, MLPSpec,
+                                       ModelSpec)
+from qpalette_tpu.ops.codebooks import (trellis_lut, vq_lut,
+                                        tlut_bits_for_kv)
+from qpalette_tpu.quant.incoherent import (artifact_path, load_artifact,
+                                           parse_quantizer_str,
+                                           quantize_linear, save_artifact)
+from qpalette_tpu.runtime.qlinear import LinearSpec
+
+LAYER_KEYS = [
+    "self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj",
+    "self_attn.o_proj", "mlp.gate_proj", "mlp.up_proj", "mlp.down_proj",
+]
+
+MODEL_KEYS = {  # reference lib/config.py
+    "meta-llama/Llama-3.1-8B": "3_8b",
+    "meta-llama/Llama-3.2-1B": "3_1b",
+    "meta-llama/Llama-3.2-3B": "3_3b",
+    "meta-llama/Llama-2-7b-hf": "2_7b",
+}
+
+CONFIGS = {
+    "3_8b": LlamaConfig.llama31_8b,
+    "3_1b": LlamaConfig.llama32_1b,
+    "3_3b": LlamaConfig.llama32_3b,
+}
+
+
+def proj_shape(cfg: LlamaConfig, key: str):
+    h, i, kv = cfg.hidden_size, cfg.intermediate_size, cfg.kv_out
+    return {
+        "self_attn.q_proj": (h, h), "self_attn.k_proj": (kv, h),
+        "self_attn.v_proj": (kv, h), "self_attn.o_proj": (h, h),
+        "mlp.gate_proj": (i, h), "mlp.up_proj": (i, h),
+        "mlp.down_proj": (h, i),
+    }[key]
+
+
+def su_for(cfg: LlamaConfig, layer: int, key: str, seed: int) -> np.ndarray:
+    """Deterministic shared sign vectors (reference cache_random_signs,
+    quantize_layer.py:150-181: q/k/v share, up/gate share)."""
+    group = {"self_attn.q_proj": "qkv", "self_attn.k_proj": "qkv",
+             "self_attn.v_proj": "qkv", "self_attn.o_proj": "o",
+             "mlp.gate_proj": "ug", "mlp.up_proj": "ug",
+             "mlp.down_proj": "dp"}[key]
+    n = proj_shape(cfg, key)[1]
+    gid = {"qkv": 0, "o": 1, "ug": 2, "dp": 3}[group]
+    rng = np.random.default_rng(seed * 1000003 + layer * 101 + gid)
+    return (rng.standard_normal(n) > 0).astype(np.float32) * 2.0 - 1.0
+
+
+# ---------------------------------------------------------------------------
+# artifact -> (LinearSpec, param arrays)
+# ---------------------------------------------------------------------------
+
+def _spec_from_meta(meta: dict, impl: str) -> LinearSpec:
+    kind = meta["kind"]
+    common = dict(in_features=meta["in_features"],
+                  out_features=meta["out_features"], impl=impl)
+    if kind == "tcq":
+        return LinearSpec("tcq", KV=(meta["KV"],),
+                          tlut_bits=meta["tlut_bits"], **common)
+    if kind == "tcomb":
+        return LinearSpec("tcomb", KV=(meta["KV1"], meta["KV2"]),
+                          tlut_bits=meta["tlut_bits"],
+                          split=tuple(meta["in_part"]), **common)
+    if kind == "comb":
+        return LinearSpec("comb", KV=(meta["KV1"], meta["KV2"]),
+                          tlut_bits=meta["tlut_bits"],
+                          split=tuple(meta["out_part"]), **common)
+    if kind == "vq":
+        return LinearSpec("vq", bits=meta["bits"], vec=meta["vec"], **common)
+    raise ValueError(kind)
+
+
+def _params_from_artifact(art: dict, dtype) -> dict:
+    meta = art["meta"]
+    p = {"wscale": jnp.asarray(art["Wscale"], jnp.float32)}
+    kind = meta["kind"]
+    if kind == "tcq":
+        p["trellis"] = jnp.asarray(art["trellis"])
+    elif kind in ("tcomb", "comb"):
+        p["trellis1"] = jnp.asarray(art["trellis1"])
+        p["trellis2"] = jnp.asarray(art["trellis2"])
+    elif kind == "vq":
+        p["qweight"] = jnp.asarray(art["qweight"])
+        p["lut"] = jnp.asarray(art["lut"] if "lut" in art
+                               else vq_lut(meta["bits"], meta["vec"]),
+                               dtype)
+    return p
+
+
+def merge_artifacts(arts: list) -> dict:
+    """Row-concat merge of same-scheme artifacts (fused qkv / ug layers).
+
+    Mirrors {QTIPLinearTCQ,VQLinearPack*,CombtLinearTCQ}.merge_infos —
+    trellis/qweight rows concatenate because tiles are stored tile-row-major
+    with a shared in_features; Wscale concatenates; SU must already be
+    shared (same rotation for all merged projections).
+    """
+    m0 = arts[0]["meta"]
+    kind = m0["kind"]
+    for a in arts[1:]:
+        assert a["meta"]["kind"] == kind, "can only merge same scheme"
+        assert a["meta"]["in_features"] == m0["in_features"]
+        assert np.array_equal(a["SU"], arts[0]["SU"]), "merge needs shared SU"
+    out = {
+        "meta": dict(m0, out_features=sum(a["meta"]["out_features"]
+                                          for a in arts)),
+        "SU": arts[0]["SU"],
+        "Wscale": np.concatenate([a["Wscale"] for a in arts]),
+    }
+    if kind == "tcq":
+        assert all(a["meta"]["KV"] == m0["KV"] for a in arts)
+        out["trellis"] = np.concatenate([a["trellis"] for a in arts], axis=0)
+        out["tlut"] = arts[0].get("tlut")
+    elif kind == "tcomb":
+        assert all(a["meta"]["KV1"] == m0["KV1"]
+                   and a["meta"]["KV2"] == m0["KV2"] for a in arts)
+        out["trellis1"] = np.concatenate([a["trellis1"] for a in arts], 0)
+        out["trellis2"] = np.concatenate([a["trellis2"] for a in arts], 0)
+        out["tlut"] = arts[0].get("tlut")
+    elif kind == "vq":
+        assert all(a["meta"]["bits"] == m0["bits"]
+                   and a["meta"]["vec"] == m0["vec"] for a in arts)
+        if "lut" in arts[0]:
+            for a in arts[1:]:
+                assert np.allclose(a["lut"], arts[0]["lut"]), \
+                    "VQ merge needs identical codebooks"
+            out["lut"] = arts[0]["lut"]
+        out["qweight"] = np.concatenate([a["qweight"] for a in arts], axis=0)
+    else:
+        raise ValueError(f"merge not supported for scheme {kind!r}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# dummy artifacts (reference --dummy / get_dummy_quant_results)
+# ---------------------------------------------------------------------------
+
+def dummy_artifact(qstr: str, shape, seed: int = 0) -> dict:
+    m, n = shape
+    spec = parse_quantizer_str(qstr)
+    rng = np.random.default_rng(seed)
+    art = {"SU": (rng.standard_normal(n) > 0).astype(np.float32) * 2 - 1,
+           "Wscale": np.full((m,), 0.02, np.float32)}
+    if spec.family == "tcq":
+        KV = spec.KV[0]
+        T = (m // 16) * (n // 16)
+        art["meta"] = {"kind": "tcq", "quantizer_str": qstr, "KV": KV,
+                       "tlut_bits": tlut_bits_for_kv(KV),
+                       "in_features": n, "out_features": m}
+        art["trellis"] = rng.integers(0, 1 << 32, (T, 4 * KV),
+                                      dtype=np.uint32)
+    elif spec.family == "tcomb":
+        KV1, KV2 = spec.KV
+        T = (m // 16) * (n // 32)
+        art["meta"] = {"kind": "tcomb", "quantizer_str": qstr,
+                       "KV1": KV1, "KV2": KV2,
+                       "tlut_bits": tlut_bits_for_kv(max(KV1, KV2)),
+                       "in_part": (n // 2, n // 2),
+                       "in_features": n, "out_features": m}
+        art["trellis1"] = rng.integers(0, 1 << 32, (T, 4 * KV1),
+                                       dtype=np.uint32)
+        art["trellis2"] = rng.integers(0, 1 << 32, (T, 4 * KV2),
+                                       dtype=np.uint32)
+    elif spec.family in ("ldlq", "sq", "vq2"):
+        bits, vec = spec.bits, spec.vec
+        nw = -(-(n // vec * bits) // 32) + 1
+        art["meta"] = {"kind": "vq", "quantizer_str": qstr, "bits": bits,
+                       "vec": vec, "in_features": n, "out_features": m}
+        art["qweight"] = rng.integers(0, 1 << 32, (m, nw), dtype=np.uint32)
+        art["lut"] = np.asarray(vq_lut(bits, vec))
+    else:
+        raise ValueError(spec.family)
+    return art
+
+
+# ---------------------------------------------------------------------------
+# model assembly
+# ---------------------------------------------------------------------------
+
+def _get_artifact(cfg, model_key, layer, key, qstr, save_dir, seed,
+                  dense_w=None, dummy=False):
+    if dummy:
+        return dummy_artifact(qstr, proj_shape(cfg, key),
+                              seed=hash((layer, key)) % (1 << 31))
+    path = artifact_path(save_dir, model_key, seed, qstr, layer, key)
+    if os.path.exists(path):
+        return load_artifact(path)
+    assert dense_w is not None, (
+        f"artifact missing and no dense weights to quantize: {path}")
+    su = su_for(cfg, layer, key, seed)
+    art = quantize_linear(dense_w, qstr, SU=su, seed=seed)
+    save_artifact(art, path)
+    return art
+
+
+def build_quantized_model(cfg: LlamaConfig, qdict, merge_info=None,
+                          model_key: str = "model",
+                          save_dir: str = "quant_results", seed: int = 0,
+                          dense_params: Optional[dict] = None,
+                          dummy: bool = False, impl: str = "xla",
+                          num_layers: Optional[int] = None):
+    """Assemble (ModelSpec, params) for a quantized Llama.
+
+    qdict: quantizer_str, or dict {f"{i}_{key}": qstr | (qstr, simt)}.
+    merge_info: per-layer list like ["merge_qkv", "merge_ug"] or None.
+    dense_params: optional dict with dense model params (for
+    quantize-on-demand and for embeddings/norms/lm_head).
+    """
+    nl = num_layers if num_layers is not None else cfg.num_layers
+    dtype = cfg.dtype
+    rng = np.random.default_rng(seed)
+
+    def qstr_for(i, key):
+        if isinstance(qdict, str):
+            return qdict, impl
+        v = qdict[f"{i}_{key}"]
+        if isinstance(v, (tuple, list)):
+            qs, simt = v
+            return qs, impl
+        return v, impl
+
+    def dense_w(i, key):
+        if dense_params is None:
+            return None
+        return dense_params["layers"][i][key.split(".")[1][:-5]
+                                         if False else key]
+
+    layers_params = []
+    layer_specs = []
+    tlut_bits_used = set()
+
+    for i in range(nl):
+        mi = merge_info[i] if merge_info is not None else []
+        merge_attn = None
+        for mm in ("qkv", "qk", "kv", "qv"):
+            if f"merge_{mm}" in mi:
+                merge_attn = mm
+        merge_ug = "merge_ug" in mi
+
+        arts = {}
+        for key in LAYER_KEYS:
+            qs, impl_k = qstr_for(i, key)
+            arts[key] = _get_artifact(
+                cfg, model_key, i, key, qs, save_dir, seed,
+                dense_w=None if dense_params is None
+                else dense_params["layers"][i][key], dummy=dummy)
+
+        q, k, v, o = (arts["self_attn.q_proj"], arts["self_attn.k_proj"],
+                      arts["self_attn.v_proj"], arts["self_attn.o_proj"])
+        gate, up, down = (arts["mlp.gate_proj"], arts["mlp.up_proj"],
+                          arts["mlp.down_proj"])
+
+        lp = {"su_qkv": jnp.asarray(q["SU"], dtype),
+              "su_o": jnp.asarray(o["SU"], dtype),
+              "su_ug": jnp.asarray(up["SU"], dtype),
+              "su_dp": jnp.asarray(down["SU"], dtype)}
+
+        attn_projs = []
+        if merge_attn == "qkv":
+            m = merge_artifacts([q, k, v])
+            attn_projs.append(("qkv", _spec_from_meta(m["meta"], impl)))
+            lp["qkv"] = _params_from_artifact(m, dtype)
+        elif merge_attn == "qk":
+            m = merge_artifacts([q, k])
+            attn_projs += [("qk", _spec_from_meta(m["meta"], impl)),
+                           ("v", _spec_from_meta(v["meta"], impl))]
+            lp["qk"] = _params_from_artifact(m, dtype)
+            lp["v"] = _params_from_artifact(v, dtype)
+        elif merge_attn == "kv":
+            m = merge_artifacts([k, v])
+            attn_projs += [("q", _spec_from_meta(q["meta"], impl)),
+                           ("kv", _spec_from_meta(m["meta"], impl))]
+            lp["q"] = _params_from_artifact(q, dtype)
+            lp["kv"] = _params_from_artifact(m, dtype)
+        elif merge_attn == "qv":
+            m = merge_artifacts([q, v])
+            attn_projs += [("qv", _spec_from_meta(m["meta"], impl)),
+                           ("k", _spec_from_meta(k["meta"], impl))]
+            lp["qv"] = _params_from_artifact(m, dtype)
+            lp["k"] = _params_from_artifact(k, dtype)
+        else:
+            for nm, a in (("q", q), ("k", k), ("v", v)):
+                attn_projs.append((nm, _spec_from_meta(a["meta"], impl)))
+                lp[nm] = _params_from_artifact(a, dtype)
+        attn_projs.append(("o", _spec_from_meta(o["meta"], impl)))
+        lp["o"] = _params_from_artifact(o, dtype)
+
+        if merge_ug:
+            m = merge_artifacts([up, gate])
+            mlp_projs = (("ug", _spec_from_meta(m["meta"], impl)),
+                         ("down", _spec_from_meta(down["meta"], impl)))
+            lp["ug"] = _params_from_artifact(m, dtype)
+        else:
+            mlp_projs = (("up", _spec_from_meta(up["meta"], impl)),
+                         ("gate", _spec_from_meta(gate["meta"], impl)),
+                         ("down", _spec_from_meta(down["meta"], impl)))
+            lp["up"] = _params_from_artifact(up, dtype)
+            lp["gate"] = _params_from_artifact(gate, dtype)
+        lp["down"] = _params_from_artifact(down, dtype)
+
+        for a in arts.values():
+            if a["meta"]["kind"] in ("tcq", "tcomb", "comb"):
+                tlut_bits_used.add(a["meta"]["tlut_bits"])
+
+        if dense_params is not None:
+            lp["ln_attn"] = jnp.asarray(dense_params["layers"][i]["ln_attn"],
+                                        dtype)
+            lp["ln_mlp"] = jnp.asarray(dense_params["layers"][i]["ln_mlp"],
+                                       dtype)
+        else:
+            lp["ln_attn"] = jnp.ones((cfg.hidden_size,), dtype)
+            lp["ln_mlp"] = jnp.ones((cfg.hidden_size,), dtype)
+
+        layers_params.append(lp)
+        layer_specs.append((AttnSpec(merge_attn, tuple(attn_projs)),
+                            MLPSpec(merge_ug, tuple(mlp_projs))))
+
+    cfg_nl = cfg if nl == cfg.num_layers else \
+        LlamaConfig(**{**cfg.__dict__, "num_layers": nl})
+    spec = ModelSpec(cfg_nl, tuple(layer_specs))
+
+    params = {"layers": layers_params,
+              "luts": {f"tcq{tb}": jnp.asarray(trellis_lut(tb), dtype)
+                       for tb in sorted(tlut_bits_used)}}
+    if dense_params is not None:
+        params["embed"] = jnp.asarray(dense_params["embed"], dtype)
+        params["lm_head"] = jnp.asarray(dense_params["lm_head"], dtype)
+        params["ln_f"] = jnp.asarray(dense_params["ln_f"], dtype)
+    else:
+        scale = 0.02
+        params["embed"] = jnp.asarray(
+            rng.standard_normal((cfg.vocab_size, cfg.hidden_size)) * scale,
+            dtype)
+        params["lm_head"] = (params["embed"] if cfg.tie_embeddings else
+                             jnp.asarray(rng.standard_normal(
+                                 (cfg.vocab_size, cfg.hidden_size)) * scale,
+                                 dtype))
+        params["ln_f"] = jnp.ones((cfg.hidden_size,), dtype)
+    return spec, params
+
+
+def random_dense_params(cfg: LlamaConfig, seed: int = 0,
+                        scale: float = 0.02) -> dict:
+    """Random dense Llama params (for tests and dummy quantization)."""
+    rng = np.random.default_rng(seed)
+
+    def w(shape):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    layers = []
+    for _ in range(cfg.num_layers):
+        lp = {k: w(proj_shape(cfg, k)) for k in LAYER_KEYS}
+        lp["ln_attn"] = np.ones((cfg.hidden_size,), np.float32)
+        lp["ln_mlp"] = np.ones((cfg.hidden_size,), np.float32)
+        layers.append(lp)
+    emb = w((cfg.vocab_size, cfg.hidden_size))
+    return {"layers": layers, "embed": emb,
+            "lm_head": emb if cfg.tie_embeddings
+            else w((cfg.vocab_size, cfg.hidden_size)),
+            "ln_f": np.ones((cfg.hidden_size,), np.float32)}
+
+
+def build_dense_model(cfg: LlamaConfig, dense_params: dict):
+    """Unquantized bf16 baseline model (reference fp16 baseline)."""
+    dtype = cfg.dtype
+    layer_specs = []
+    layers_params = []
+    for i in range(cfg.num_layers):
+        dp = dense_params["layers"][i]
+        lp = {}
+        projs = []
+        for nm, key in (("q", "self_attn.q_proj"), ("k", "self_attn.k_proj"),
+                        ("v", "self_attn.v_proj"), ("o", "self_attn.o_proj")):
+            m, n = proj_shape(cfg, key)
+            projs.append((nm, LinearSpec("dense", n, m)))
+            lp[nm] = {"w": jnp.asarray(dp[key], dtype)}
+        aspec = AttnSpec(None, tuple(projs))
+        mprojs = []
+        for nm, key in (("up", "mlp.up_proj"), ("gate", "mlp.gate_proj"),
+                        ("down", "mlp.down_proj")):
+            m, n = proj_shape(cfg, key)
+            mprojs.append((nm, LinearSpec("dense", n, m)))
+            lp[nm] = {"w": jnp.asarray(dp[key], dtype)}
+        mspec = MLPSpec(False, tuple(mprojs))
+        # dense path needs identity rotations
+        lp["su_qkv"] = jnp.ones((cfg.hidden_size,), dtype)
+        lp["su_o"] = jnp.ones((cfg.hidden_size,), dtype)
+        lp["su_ug"] = jnp.ones((cfg.hidden_size,), dtype)
+        lp["su_dp"] = jnp.ones((cfg.intermediate_size,), dtype)
+        lp["ln_attn"] = jnp.asarray(dp["ln_attn"], dtype)
+        lp["ln_mlp"] = jnp.asarray(dp["ln_mlp"], dtype)
+        layers_params.append(lp)
+        layer_specs.append((aspec, mspec))
+    spec = ModelSpec(cfg, tuple(layer_specs))
+    params = {"layers": layers_params,
+              "luts": {},
+              "embed": jnp.asarray(dense_params["embed"], dtype),
+              "lm_head": jnp.asarray(dense_params["lm_head"], dtype),
+              "ln_f": jnp.asarray(dense_params["ln_f"], dtype)}
+    return spec, params

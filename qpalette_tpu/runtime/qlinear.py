@@ -1,0 +1,91 @@
+"""Quantized-linear dispatch: one apply function per packed scheme.
+
+Reference behavior: lib/linear/{tcq_linear,vq_linear,comb_linear}.py — each
+module picks a fused CUDA kernel for bs ≤ 8 and falls back to
+dequant-then-matmul for larger batch (tcq_linear.py:64-84).
+
+TPU-native: `qlinear_apply` dispatches on a hashable LinearSpec at trace
+time (replacing the reference's per-shape op registry,
+lib/linear/__init__.py:43-420).  Paths:
+  - 'xla'    : dequant to bf16 in-graph, then MXU matmul (correctness path
+               and the large-batch path; XLA fuses scale epilogues)
+  - 'pallas' : fused decode+matmul kernels (qpalette_tpu.kernels), used for
+               small-batch decode where HBM bandwidth on packed weights is
+               the bottleneck
+The expanded 2^16-state trellis LUT is shared across layers via the model's
+`luts` dict (one entry per tlut_bits), mirroring how all reference TCQ
+layers share the cached kmeans tlut (bitshift.py:148-160).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from qpalette_tpu.ops import packing
+
+
+@dataclass(frozen=True)
+class LinearSpec:
+    kind: str                 # dense | tcq | tcomb | comb | vq
+    in_features: int
+    out_features: int
+    KV: tuple = ()            # (KV,) or (KV1, KV2)
+    tlut_bits: int = 0
+    bits: int = 0
+    vec: int = 0
+    split: tuple = ()         # in_part (tcomb) or out_part (comb)
+    impl: str = "xla"         # xla | pallas
+
+    def tcq_lut_key(self) -> str:
+        return f"tcq{self.tlut_bits}"
+
+
+def dequant_weight(spec: LinearSpec, p: dict, luts: dict) -> jax.Array:
+    """Decode packed weights to a dense (m, n) matrix (rotated space,
+    unscaled)."""
+    m, n = spec.out_features, spec.in_features
+    if spec.kind == "tcq":
+        lut = luts[spec.tcq_lut_key()]
+        return packing.dequant_tcq(p["trellis"], lut, m, n, spec.KV[0])
+    if spec.kind == "tcomb":
+        lut = luts[spec.tcq_lut_key()]
+        n1, n2 = spec.split
+        w1 = packing.dequant_tcq(p["trellis1"], lut, m, n1, spec.KV[0])
+        w2 = packing.dequant_tcq(p["trellis2"], lut, m, n2, spec.KV[1])
+        return jnp.concatenate([w1, w2], axis=1)
+    if spec.kind == "comb":
+        lut = luts[spec.tcq_lut_key()]
+        m1, m2 = spec.split
+        w1 = packing.dequant_tcq(p["trellis1"], lut, m1, n, spec.KV[0])
+        w2 = packing.dequant_tcq(p["trellis2"], lut, m2, n, spec.KV[1])
+        return jnp.concatenate([w1, w2], axis=0)
+    if spec.kind == "vq":
+        return packing.dequant_lut(p["qweight"], p["lut"], m, n,
+                                   spec.bits, spec.vec)
+    raise ValueError(spec.kind)
+
+
+def qlinear_apply(spec: LinearSpec, p: dict, z: jax.Array,
+                  luts: Optional[dict] = None) -> jax.Array:
+    """z (rows, in_features) — already incoherence-rotated — -> (rows, out).
+
+    Applies the per-row Wscale epilogue (reference incoherent_linear.py:495).
+    """
+    if spec.kind == "dense":
+        w = p["w"]
+        return jax.lax.dot_general(
+            z, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(z.dtype)
+    if spec.impl == "pallas":
+        from qpalette_tpu.kernels import fused
+        y = fused.decode_matmul(spec, p, z, luts)
+    else:
+        w = dequant_weight(spec, p, luts).astype(z.dtype)
+        y = jax.lax.dot_general(
+            z, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return (y * p["wscale"][None, :].astype(jnp.float32)).astype(z.dtype)

@@ -1,0 +1,122 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qpalette_tpu.models.llama import LlamaConfig, forward, init_kv_caches
+from qpalette_tpu.runtime.loader import (build_dense_model,
+                                         build_quantized_model,
+                                         random_dense_params)
+from qpalette_tpu.runtime.decode import decode_step, prefill, generate
+from qpalette_tpu.runtime.evaluate import ce_loss
+
+CFG = LlamaConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def dense_setup():
+    dp = random_dense_params(CFG, seed=0)
+    spec, params = build_dense_model(CFG, dp)
+    return dp, spec, params
+
+
+def test_dense_forward_shapes(dense_setup):
+    _, spec, params = dense_setup
+    toks = np.arange(8)[None, :] % CFG.vocab_size
+    logits = forward(spec, params, jnp.asarray(toks, jnp.int32))
+    assert logits.shape == (1, 8, CFG.vocab_size)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_quantized_close_to_dense_at_high_bits(dense_setup, tmp_path):
+    dp, dspec, dparams = dense_setup
+    qspec, qparams = build_quantized_model(
+        CFG, "ldlq_1_8_none_1.0", model_key="tiny",
+        save_dir=str(tmp_path), dense_params=dp)
+    toks = jnp.asarray(np.arange(16)[None, :] % CFG.vocab_size, jnp.int32)
+    ld = forward(dspec, dparams, toks)
+    lq = forward(qspec, qparams, toks)
+    # 8-bit SQ should track the dense model closely at the loss level
+    den = float(ce_loss(dspec, dparams, toks))
+    qn = float(ce_loss(qspec, qparams, toks))
+    assert abs(den - qn) < 0.1, (den, qn)
+    rel = float(jnp.mean((ld - lq) ** 2) / jnp.mean(ld ** 2))
+    assert rel < 0.05, rel
+
+
+@pytest.mark.parametrize("qstr,merge", [
+    ("tcq_4_none_0.9", None),
+    ("tcomb_4_5_0.5_none_0.9", ["merge_qkv", "merge_ug"]),
+    ("ldlq_2_4_none_1.0", ["merge_kv"]),
+])
+def test_quantized_forward_and_merges(dense_setup, tmp_path, qstr, merge):
+    dp, dspec, dparams = dense_setup
+    merge_info = [merge or []] * CFG.num_layers
+    qspec, qparams = build_quantized_model(
+        CFG, qstr, merge_info=merge_info, model_key=f"tiny_{qstr[:4]}",
+        save_dir=str(tmp_path), dense_params=dp)
+    toks = jnp.asarray(np.arange(16)[None, :] % CFG.vocab_size, jnp.int32)
+    lq = forward(qspec, qparams, toks)
+    assert np.isfinite(np.asarray(lq)).all()
+    # 2-bit-ish quantization of random weights is lossy; just require the
+    # outputs to correlate with dense
+    ld = np.asarray(forward(dspec, dparams, toks)).ravel()
+    lqv = np.asarray(lq).ravel()
+    corr = np.corrcoef(ld, lqv)[0, 1]
+    assert corr > 0.5, corr
+
+
+def test_merged_equals_unmerged(dense_setup, tmp_path):
+    """Fused QKV/UG projections must produce identical math to unfused."""
+    dp, _, _ = dense_setup
+    qstr = "tcq_4_none_0.9"
+    spec_u, par_u = build_quantized_model(
+        CFG, qstr, model_key="tiny_mrg", save_dir=str(tmp_path),
+        dense_params=dp)
+    spec_m, par_m = build_quantized_model(
+        CFG, qstr, merge_info=[["merge_qkv", "merge_ug"]] * CFG.num_layers,
+        model_key="tiny_mrg", save_dir=str(tmp_path), dense_params=dp)
+    toks = jnp.asarray(np.arange(8)[None, :] % CFG.vocab_size, jnp.int32)
+    lu = np.asarray(forward(spec_u, par_u, toks))
+    lm = np.asarray(forward(spec_m, par_m, toks))
+    assert np.allclose(lu, lm, atol=2e-2), np.abs(lu - lm).max()
+
+
+def test_decode_matches_prefill(dense_setup):
+    """Incremental decode with KV cache must match the full forward."""
+    _, spec, params = dense_setup
+    B, S = 2, 10
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(0, CFG.vocab_size, (B, S)), jnp.int32)
+    full = np.asarray(forward(spec, params, toks))
+
+    caches = init_kv_caches(spec, B, 16)
+    logits_p, caches = prefill(spec, params, toks[:, :4], caches)
+    assert np.allclose(np.asarray(logits_p), full[:, :4], atol=3e-2)
+    from qpalette_tpu.models.llama import forward as fwd
+    step_logits = []
+    for i in range(4, S):
+        lg, caches = fwd(spec, params, toks[:, i:i + 1],
+                         kv_caches=caches, cache_pos=i)
+        step_logits.append(np.asarray(lg)[:, 0])
+    inc = np.stack(step_logits, axis=1)
+    assert np.allclose(inc, full[:, 4:], atol=5e-2), \
+        np.abs(inc - full[:, 4:]).max()
+
+
+def test_generate_runs(dense_setup):
+    _, spec, params = dense_setup
+    prompt = np.array([[1, 2, 3]], dtype=np.int32)
+    seq, stats = generate(spec, params, prompt, max_new_tokens=5,
+                          max_seq=16, temperature=0.0)
+    assert seq.shape == (1, 8)
+
+
+def test_dummy_mode_builds(tmp_path):
+    """--dummy latency mode: random packed weights, correct shapes only."""
+    qspec, qparams = build_quantized_model(
+        CFG, "tcomb_4_5_0.5_none_0.9", model_key="tiny_dummy",
+        save_dir=str(tmp_path), dummy=True)
+    toks = jnp.asarray(np.arange(8)[None, :] % CFG.vocab_size, jnp.int32)
+    logits = forward(qspec, qparams, toks)
+    assert np.isfinite(np.asarray(logits)).all()

@@ -1,0 +1,186 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qpalette_tpu.ops import packing
+from qpalette_tpu.ops.codebooks import trellis_lut, vq_lut, tlut_bits_for_kv
+from qpalette_tpu.ops.hadamard import hadamard_transform_t, random_signs
+from qpalette_tpu.quant import quantizers
+from qpalette_tpu.quant.viterbi import tcq_quantize, viterbi_encode
+from qpalette_tpu.quant.ldlq import block_ldl, regularize_h
+from qpalette_tpu.quant.incoherent import (
+    quantize_linear, parse_quantizer_str, save_artifact, load_artifact)
+
+
+def test_viterbi_states_valid_chain():
+    KV = 4
+    lut = jnp.asarray(trellis_lut(9))
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.standard_normal((4, 256)).astype(np.float32))
+    hat, states = tcq_quantize(X, lut, KV)
+    st = np.asarray(states)
+    # transition: s_{i+1} = (s_i >> KV) | (new << (L-KV))
+    assert np.all((st[:, 1:] & ((1 << (16 - KV)) - 1)) == (st[:, :-1] >> KV))
+    # tail-biting wrap
+    assert np.all((st[:, 0] & ((1 << (16 - KV)) - 1)) == (st[:, -1] >> KV))
+    # reconstruction matches lut
+    expect = np.asarray(trellis_lut(9))[st].reshape(4, 256)
+    assert np.allclose(np.asarray(hat), expect)
+
+
+@pytest.mark.parametrize("KV", [3, 6])
+def test_viterbi_distortion_reasonable(KV):
+    # quantizing N(0,1) data at KV/2 bits/weight should beat naive scalar
+    lut = jnp.asarray(trellis_lut(tlut_bits_for_kv(KV)))
+    rng = np.random.default_rng(1)
+    X = jnp.asarray(rng.standard_normal((8, 256)).astype(np.float32))
+    hat, _ = tcq_quantize(X, lut, KV)
+    mse = float(jnp.mean((hat - X) ** 2))
+    # rate-distortion for Gaussian at R bits: 2^(-2R); trellis should be
+    # within ~3x of it (reference quant_err: tcq_6 -> 0.019 at R=3)
+    R = KV / 2
+    assert mse < 3.5 * 2 ** (-2 * R), mse
+
+
+def test_block_ldl_reconstructs():
+    rng = np.random.default_rng(2)
+    A = rng.standard_normal((64, 64)).astype(np.float32)
+    H = A @ A.T + 0.1 * np.eye(64, dtype=np.float32)
+    L, D = block_ldl(jnp.asarray(H), 16)
+    Lfull = np.asarray(L) + np.eye(64, dtype=np.float32)  # add back unit diag
+    m = 64 // 16
+    Dfull = np.zeros((64, 64), np.float32)
+    for i in range(m):
+        Dfull[i*16:(i+1)*16, i*16:(i+1)*16] = np.asarray(D)[i]
+    # H = L D L^T with L unit-block-lower.  Our L returns strictly-lower
+    # (diag blocks zeroed), but block_LDL normalizes so within-diag-block
+    # entries vanish: check reconstruction
+    assert np.allclose(Lfull @ Dfull @ Lfull.T, H, rtol=1e-3, atol=1e-2)
+
+
+def _dequant_artifact(linear, hatW_expected_shape):
+    kind = linear["kind"]
+    m, n = hatW_expected_shape
+    if kind == "tcq":
+        lut = jnp.asarray(trellis_lut(linear["tlut_bits"]))
+        return packing.dequant_tcq(jnp.asarray(linear["trellis"]), lut, m, n,
+                                   linear["KV"])
+    if kind == "vq":
+        lut = jnp.asarray(vq_lut(linear["bits"], linear["vec"]))
+        return packing.dequant_lut(jnp.asarray(linear["qweight"]), lut, m, n,
+                                   linear["bits"], linear["vec"])
+    if kind == "tcomb":
+        lut = jnp.asarray(trellis_lut(linear["tlut_bits"]))
+        n1, n2 = linear["in_part"]
+        w1 = packing.dequant_tcq(jnp.asarray(linear["trellis1"]), lut, m, n1,
+                                 linear["KV1"])
+        w2 = packing.dequant_tcq(jnp.asarray(linear["trellis2"]), lut, m, n2,
+                                 linear["KV2"])
+        return jnp.concatenate([w1, w2], axis=1)
+    raise ValueError(kind)
+
+
+@pytest.mark.parametrize("scheme", ["tcq", "vq", "tcomb"])
+def test_pack_matches_hatw(scheme):
+    """decode(packed codes) must equal the hatW the quantizer reports."""
+    rng = np.random.default_rng(3)
+    m, n = 32, 64
+    Wr = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
+    if scheme == "tcq":
+        linear, hatW = quantizers.quantize_mat_tcq(Wr, None, KV=4)
+    elif scheme == "vq":
+        linear, hatW = quantizers.quantize_mat_vq(Wr, None, bits=4, vec=2)
+    else:
+        linear, hatW = quantizers.quantize_mat_combt(Wr, None, KV1=4, KV2=5)
+    dec = _dequant_artifact(linear, (m, n))
+    assert np.allclose(np.asarray(dec), np.asarray(hatW), atol=1e-5)
+
+
+def test_ldlq_with_hessian_reduces_weighted_error():
+    rng = np.random.default_rng(4)
+    m, n = 32, 64
+    W = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
+    A = rng.standard_normal((n, 4 * n)).astype(np.float32)
+    H = jnp.asarray(A @ A.T / (4 * n))
+    _, hat_noh = quantizers.quantize_mat_vq(W, None, bits=2, vec=1)
+    _, hat_h = quantizers.quantize_mat_vq(W, H, bits=2, vec=1, use_hess=True)
+    Hn = np.asarray(regularize_h(H))
+    def proxy(hat):
+        E = np.asarray(hat) - np.asarray(W)
+        return float(np.trace(E @ Hn @ E.T))
+    assert proxy(hat_h) < proxy(hat_noh)
+
+
+@pytest.mark.parametrize("qstr", [
+    "tcq_4_none_0.9", "tcomb_4_5_0.5_none_0.9", "ldlq_2_4_none_1.0",
+    "ldlq_1_4_none_1.0", "sq_4_none_0.9", "comb_4_5_0.5_none_0.9",
+])
+def test_quantize_linear_end_to_end(qstr, tmp_path):
+    rng = np.random.default_rng(5)
+    m, n = 32, 64
+    W = rng.standard_normal((m, n)).astype(np.float32) * 0.02
+    art = quantize_linear(W, qstr, seed=0)
+    assert art["meta"]["err"] < 0.25, art["meta"]["err"]
+
+    # runtime reconstruction: y = dequant(Wq) @ z * Wscale where
+    # z = ht_t(x * SU); must approximate y = W x
+    x = rng.standard_normal((4, n)).astype(np.float32)
+    z = hadamard_transform_t(jnp.asarray(x) * jnp.asarray(art["SU"])[None, :])
+    lin = {k: v for k, v in art.items() if k not in ("meta", "SU", "Wscale")}
+    lin.update({k: v for k, v in art["meta"].items()})
+    Wq = _dequant_artifact_from_art(art, (m, n))
+    y = np.asarray(z @ Wq.T) * art["Wscale"][None, :]
+    y_ref = x @ W.T
+    rel = np.mean((y - y_ref) ** 2) / np.mean(y_ref ** 2)
+    assert rel < 0.3, rel
+
+    # artifact IO round-trip
+    p = str(tmp_path / "a.npz")
+    save_artifact(art, p)
+    art2 = load_artifact(p)
+    assert art2["meta"]["quantizer_str"] == qstr
+    for k in art:
+        if k != "meta":
+            assert np.array_equal(art[k], art2[k])
+
+
+def _dequant_artifact_from_art(art, shape):
+    meta = art["meta"]
+    m, n = shape
+    kind = meta["kind"]
+    if kind == "tcq":
+        lut = jnp.asarray(trellis_lut(meta["tlut_bits"]))
+        return packing.dequant_tcq(jnp.asarray(art["trellis"]), lut, m, n,
+                                   meta["KV"])
+    if kind == "vq":
+        lut = jnp.asarray(art["lut"]) if "lut" in art else \
+            jnp.asarray(vq_lut(meta["bits"], meta["vec"]))
+        return packing.dequant_lut(jnp.asarray(art["qweight"]), lut, m, n,
+                                   meta["bits"], meta["vec"])
+    if kind == "tcomb":
+        lut = jnp.asarray(trellis_lut(meta["tlut_bits"]))
+        n1, n2 = meta["in_part"]
+        w1 = packing.dequant_tcq(jnp.asarray(art["trellis1"]), lut, m, n1,
+                                 meta["KV1"])
+        w2 = packing.dequant_tcq(jnp.asarray(art["trellis2"]), lut, m, n2,
+                                 meta["KV2"])
+        return jnp.concatenate([w1, w2], axis=1)
+    if kind == "comb":
+        lut = jnp.asarray(trellis_lut(meta["tlut_bits"]))
+        m1, m2 = meta["out_part"]
+        w1 = packing.dequant_tcq(jnp.asarray(art["trellis1"]), lut, m1, n,
+                                 meta["KV1"])
+        w2 = packing.dequant_tcq(jnp.asarray(art["trellis2"]), lut, m2, n,
+                                 meta["KV2"])
+        return jnp.concatenate([w1, w2], axis=0)
+    raise ValueError(kind)
+
+
+def test_parse_quantizer_str():
+    s = parse_quantizer_str("tcomb_6_7_0.5_none_0.9")
+    assert s.family == "tcomb" and s.KV == (6, 7) and s.avg_bits == 3.25
+    s = parse_quantizer_str("ldlq_2_6_none_1.0")
+    assert s.bits == 6 and s.vec == 2 and s.avg_bits == 3.0
+    s = parse_quantizer_str("tcq_6_hess_0.9")
+    assert s.use_hess and s.avg_bits == 3.0
