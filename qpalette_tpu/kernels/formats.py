@@ -1,0 +1,85 @@
+"""Kernel-side packed layouts + activation pre-permutations.
+
+The canonical formats (ops/packing.py) are row-major bitstreams.  The Pallas
+decode kernels want:
+
+VQ/SQ ("vqT"): words transposed to (P*bits/32, m) so weight ROWS live in
+  lanes and words in sublanes.  Decode then processes one output vreg
+  (8 strided positions × 128 rows) with a scalar shift per vreg — see
+  kernels/fused.py.  Because positions are blocked 512 at a time and
+  512*bits ≡ 0 (mod 32), rowpack words transpose 1:1 (no re-packing).
+
+  Position order inside a 512-block is v-major/stride-64 interleaved
+  ((v, c, s) for original position p = v + 64*s, component c), so the
+  activation vector is pre-permuted once per matmul by pure
+  reshape/transpose (vq_x_perm) — the TPU equivalent of the reference's
+  activation-side mma swizzle.
+
+TCQ ("tcqKT"): trellis words rearranged to (k/16, 4*KV, m/16) so tile-ROWS
+  live in lanes; each vreg decodes 8 consecutive positions of one tile
+  column across 128 tile-rows.  No activation permutation is needed (the
+  within-tile order works out to identity).
+
+These converters run once at model load (numpy/XLA, off the hot path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+LANES = 128
+
+
+def vq_kernel_weights(packed: np.ndarray, bits: int, vec: int, m: int,
+                      k: int) -> np.ndarray:
+    """rowpack (m, W+1) uint32 -> (P*bits/32, m) uint32 transposed."""
+    P = k // vec
+    assert (P * bits) % 32 == 0 and P % 512 == 0, (P, bits)
+    W = P * bits // 32
+    assert packed.shape[1] >= W
+    return np.ascontiguousarray(np.asarray(packed)[:, :W].T)
+
+
+def vq_x_perm(x: jax.Array, vec: int, kb: int) -> jax.Array:
+    """Permute activations to the kernel's scratch order.
+
+    Original column (j*kb + v + (kb/8)*s)*vec + c  ->  scratch row
+    j*kb*vec + (v*vec + c)*8 + s.  Pure reshape/transpose (no gather).
+    """
+    N, kdim = x.shape
+    nblk = kdim // (kb * vec)
+    xr = x.reshape(N, nblk, 8, kb // 8, vec)  # (s, v, c) strides of orig col
+    return xr.transpose(0, 1, 3, 4, 2).reshape(N, kdim)
+
+
+def tcq_kernel_weights(trellis: np.ndarray, m: int, k: int) -> np.ndarray:
+    """canonical (T, 4KV) tile-row-major -> (k/16, 4KV, m/16) uint32."""
+    T, W = trellis.shape
+    mt, kt = m // 16, k // 16
+    assert T == mt * kt
+    arr = np.asarray(trellis).reshape(mt, kt, W)
+    return np.ascontiguousarray(arr.transpose(1, 2, 0))
+
+
+def lut_tables(lut: np.ndarray, bits: int) -> np.ndarray:
+    """(2^bits, vec) codebook -> (vec, nch, 8, 128) f32 lane-gather tables
+    (each 128-entry chunk replicated across the 8 sublanes)."""
+    lut = np.asarray(lut, np.float32)
+    if lut.ndim == 1:
+        lut = lut[:, None]
+    n, vec = lut.shape
+    assert n == 1 << bits
+    nch = max(1, n // LANES)
+    if n < LANES:  # pad small codebooks up to one chunk
+        lut = np.pad(lut, ((0, LANES - n), (0, 0)))
+    chunks = lut.T.reshape(vec, nch, LANES)
+    return np.ascontiguousarray(
+        np.broadcast_to(chunks[:, :, None, :], (vec, nch, 8, LANES)))
+
+
+def trellis_sign_tables(tlut: np.ndarray, tlut_bits: int) -> np.ndarray:
+    """tlut (2^S, 2) -> (2, nch, 8, 128) gather tables for the quantlut_sym
+    decode (sign applied separately in-kernel)."""
+    return lut_tables(tlut, tlut_bits)

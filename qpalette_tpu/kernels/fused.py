@@ -1,0 +1,257 @@
+"""Fused LUT-decode + matmul Pallas kernels (the L0 of this framework).
+
+Reference behavior being replaced: the CUDA kernel families
+  - tcq: kernels/tcq-kernels/src/inference.cu:408-637 (trellis shuffle
+    decode + smem LUT + mma.m16n8k16)
+  - sq/vq: kernels/vq-tensor-kernels/src/inference.cu:570-882 and the SIMT
+    variants (sq-cuda-kernels, vq-cuda-kernels)
+with their per-(shape,bitrate) generated wrappers (lib/linear/__init__.py).
+
+TPU-native design (per-vreg decode, MXU matmul):
+  * Weight rows (VQ) / tile-rows (TCQ) live in LANES; packed words in
+    sublanes (kernels/formats.py layouts).
+  * Positions are mapped to vregs so the bit-window shift is a scalar per
+    vreg (VQ, stride-P/8 interleave) or a static vector (TCQ); the window
+    is two sublane-selects + shifts + or — no data-dependent control flow.
+  * Codebook lookup = Mosaic lane-gather (`take_along_axis(tab, idx,
+    axis=1)`) over 128-entry chunks replicated across sublanes, with
+    `where`-selects across chunks for codebooks > 128 entries.
+  * Decoded blocks land in a VMEM scratch in a kernel-chosen column order;
+    the activation is pre-permuted once per call by reshape/transpose, so
+    the MXU contraction is a plain dot.  (This mirrors how the reference
+    permutes weights into mma order at pack time — here the cheap side,
+    the activation, absorbs the permutation instead.)
+  * Grid (m-blocks, k-blocks), accumulation over k in the revisited output
+    block; Pallas double-buffers the packed-weight streams from HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+# interpreter mode for CPU tests (conftest sets QPALETTE_INTERPRET=1)
+INTERPRET = os.environ.get("QPALETTE_INTERPRET", "0") == "1"
+ACC = jnp.float32
+DDT = jnp.bfloat16  # decoded-weight dtype for the MXU
+
+
+def _gather_chunks(tab, idx):
+    """tab (nch, 8, 128) f32 tables; idx (8, 128) int32 -> values (8, 128)."""
+    nch = tab.shape[0]
+    low = idx & (LANES - 1)
+    out = jnp.take_along_axis(tab[0], low, axis=1)
+    for ch in range(1, nch):
+        g = jnp.take_along_axis(tab[ch], low, axis=1)
+        out = jnp.where((idx >> 7) == ch, g, out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# VQ / SQ fused kernel
+# ---------------------------------------------------------------------------
+
+def _pick_kb(P: int, bits: int) -> int:
+    for kb in (512, 256, 128):
+        if P % kb == 0 and (kb // 8) * bits % 32 == 0:
+            return kb
+    raise ValueError(f"unsupported position count {P} for bits={bits}")
+
+
+def _vq_kernel(x_ref, qw_ref, tab_ref, o_ref, d_ref, *, bits, vec, kb):
+    j = pl.program_id(1)
+    g = kb * bits // 256  # words per sublane-group
+    wr = qw_ref[:].reshape(8, g, LANES)
+    mask = jnp.uint32((1 << bits) - 1)
+    for v in range(kb // 8):
+        bit = v * bits
+        c, sh = bit // 32, bit % 32
+        lo = wr[:, c, :]
+        if sh == 0:
+            win = lo
+        else:
+            hi = wr[:, c + 1, :] if c + 1 < g else lo
+            win = (lo >> jnp.uint32(sh)) | (
+                (hi << jnp.uint32(31 - sh)) << jnp.uint32(1))
+        idx = (win & mask).astype(jnp.int32)
+        for comp in range(vec):
+            val = _gather_chunks(tab_ref[comp], idx)
+            r = (v * vec + comp) * 8
+            d_ref[r:r + 8, :] = val.astype(DDT)
+    acc = jax.lax.dot_general(
+        x_ref[:], d_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=ACC)
+
+    @pl.when(j == 0)
+    def _():
+        o_ref[:] = acc
+
+    @pl.when(j != 0)
+    def _():
+        o_ref[:] = o_ref[:] + acc
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "vec", "m", "k"))
+def vq_decode_matmul(x, qw_t, tabs, bits: int, vec: int, m: int, k: int):
+    """x (N, k) bf16; qw_t (P*bits/32, m) uint32; tabs (vec, nch, 8, 128).
+
+    Returns (N, m) f32 = x @ dequant(qw)^T (no Wscale)."""
+    from qpalette_tpu.kernels.formats import vq_x_perm
+    N = x.shape[0]
+    P = k // vec
+    kb = _pick_kb(P, bits)
+    gk = P // kb
+    gm = m // LANES
+    wpb = kb * bits // 32  # words per block
+
+    xp = vq_x_perm(x, vec, kb).astype(DDT)
+    grid = (gm, gk)
+    out = pl.pallas_call(
+        functools.partial(_vq_kernel, bits=bits, vec=vec, kb=kb),
+        out_shape=jax.ShapeDtypeStruct((N, m), ACC),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((N, kb * vec), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wpb, LANES), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tabs.shape, lambda i, j: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((N, LANES), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((kb * vec, LANES), DDT)],
+        interpret=INTERPRET,
+    )(xp, qw_t, tabs)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# TCQ fused kernel
+# ---------------------------------------------------------------------------
+
+def _tcq_kernel(x_ref, tr_ref, tab_ref, o_ref, d_ref, *, KV, S, tk, lanes_m):
+    j = pl.program_id(1)
+    W = 4 * KV
+    maskS = jnp.uint32((1 << S) - 1)
+    for kt in range(tk):
+        tile_words = tr_ref[kt]  # (4KV, 128)
+        sv = jax.lax.broadcasted_iota(jnp.int32, (8, lanes_m), 0)
+        for v in range(16):
+            base_bits = 8 * v * KV
+            wbase = base_bits // 32
+            if wbase + 8 <= W:
+                win = tile_words[wbase:wbase + 8, :]
+            else:  # circular bitstream: wrap to the tile's first words
+                win = jnp.concatenate([tile_words[wbase:, :],
+                                       tile_words[:wbase + 8 - W, :]],
+                                      axis=0)
+            # per-sublane word index / shift, built in-kernel from iota
+            bitoff = (sv + 8 * v) * KV
+            relv = (bitoff >> 5) - wbase
+            shv = (bitoff & 31).astype(jnp.uint32)
+            lo = jnp.take_along_axis(win, relv, axis=0)
+            hi = jnp.take_along_axis(win, relv + 1, axis=0)
+            state = (lo >> shv) | ((hi << (jnp.uint32(31) - shv))
+                                   << jnp.uint32(1))
+            u = state & jnp.uint32(0xFFFF)
+            # quantlut_sym decode: h = u*(u+1); bit15 = sign of comp 0;
+            # bits [16-S-1, 16-1) index the tlut (bitshift.py:71-79)
+            h = u * (u + jnp.uint32(1))
+            sflp = 1.0 - 2.0 * ((h >> jnp.uint32(15)) & jnp.uint32(1)
+                                ).astype(jnp.float32)
+            tidx = ((h >> jnp.uint32(16 - S - 1)) & maskS).astype(jnp.int32)
+            v0 = _gather_chunks(tab_ref[0], tidx) * sflp
+            v1 = _gather_chunks(tab_ref[1], tidx)
+            r = kt * 16
+            d_ref[v, r:r + 8, :] = v0.astype(DDT)
+            d_ref[v, r + 8:r + 16, :] = v1.astype(DDT)
+    xb = x_ref[:]  # (N, tk*16)
+    accs = []
+    for v in range(16):
+        accs.append(jax.lax.dot_general(
+            xb, d_ref[v], (((1,), (0,)), ((), ())),
+            preferred_element_type=ACC))  # (N, 128)
+    acc = jnp.stack(accs, axis=-1)  # (N, lanes_m, 16)
+    acc = acc.reshape(xb.shape[0], lanes_m * 16)
+
+    @pl.when(j == 0)
+    def _():
+        o_ref[:] = acc
+
+    @pl.when(j != 0)
+    def _():
+        o_ref[:] = o_ref[:] + acc
+
+
+@functools.partial(jax.jit, static_argnames=("KV", "S", "m", "k"))
+def tcq_decode_matmul(x, tr_kt, tabs, KV: int, S: int, m: int, k: int):
+    """x (N, k) bf16; tr_kt (k/16, 4KV, m/16) uint32; tabs (2, nch, 8, 128).
+
+    Returns (N, m) f32 = x @ dequant(trellis)^T (no Wscale)."""
+    N = x.shape[0]
+    tk = min(8, k // 16)
+    gk = (k // 16) // tk
+    lanes_m = min(LANES, m // 16)
+    gm = (m // 16) // lanes_m
+    # activation permutation: within each 16-col tile, (2s+c) -> (c*8+s)
+    xp = x.reshape(N, k // 16, 8, 2).transpose(0, 1, 3, 2).reshape(N, k)
+    xp = xp.astype(DDT)
+
+    out = pl.pallas_call(
+        functools.partial(_tcq_kernel, KV=KV, S=S, tk=tk, lanes_m=lanes_m),
+        out_shape=jax.ShapeDtypeStruct((N, m), ACC),
+        grid=(gm, gk),
+        in_specs=[
+            pl.BlockSpec((N, tk * 16), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, 4 * KV, lanes_m), lambda i, j: (j, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tabs.shape, lambda i, j: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((N, lanes_m * 16), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((16, tk * 16, lanes_m), DDT)],
+        interpret=INTERPRET,
+    )(xp, tr_kt, tabs)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# dispatch used by runtime/qlinear.py (impl='pallas')
+# ---------------------------------------------------------------------------
+
+def decode_matmul(spec, p, z, luts):
+    """Fused path entry: expects kernel-format params prepared by the
+    loader (keys qweight_t / trellis_kt / tabs)."""
+    m, n = spec.out_features, spec.in_features
+    zb = z.astype(DDT)
+    if spec.kind == "vq":
+        return vq_decode_matmul(zb, p["qweight_t"], p["tabs"],
+                                spec.bits, spec.vec, m, n)
+    if spec.kind == "tcq":
+        return tcq_decode_matmul(zb, p["trellis_kt"], p["tabs"],
+                                 spec.KV[0], spec.tlut_bits, m, n)
+    if spec.kind == "tcomb":
+        n1, n2 = spec.split
+        y1 = tcq_decode_matmul(zb[:, :n1], p["trellis1_kt"], p["tabs"],
+                               spec.KV[0], spec.tlut_bits, m, n1)
+        y2 = tcq_decode_matmul(zb[:, n1:], p["trellis2_kt"], p["tabs"],
+                               spec.KV[1], spec.tlut_bits, m, n2)
+        return y1 + y2
+    if spec.kind == "comb":
+        m1, m2 = spec.split
+        y1 = tcq_decode_matmul(zb, p["trellis1_kt"], p["tabs"],
+                               spec.KV[0], spec.tlut_bits, m1, n)
+        y2 = tcq_decode_matmul(zb, p["trellis2_kt"], p["tabs"],
+                               spec.KV[1], spec.tlut_bits, m2, n)
+        return jnp.concatenate([y1, y2], axis=1)
+    raise ValueError(spec.kind)

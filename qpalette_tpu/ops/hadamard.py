@@ -160,13 +160,15 @@ def get_had_factors(n: int) -> tuple[int, ...]:
 
 @functools.lru_cache(maxsize=None)
 def _factor_mats(n: int, transpose: bool, dtype_name: str):
+    # cache plain numpy (jnp arrays created under a jit trace would leak
+    # tracers through this cache); tracing lifts them to constants per use
     facs = get_had_factors(n)
     mats = []
     for k in facs:
         H = hadamard_matrix(k)
         if transpose:
             H = H.T
-        mats.append(jnp.asarray(H, dtype=jnp.dtype(dtype_name)))
+        mats.append(np.ascontiguousarray(H, dtype=np.dtype(dtype_name)))
     return facs, mats
 
 
@@ -178,12 +180,11 @@ def _apply(x: jax.Array, n: int, transpose: bool) -> jax.Array:
     facs, mats = _factor_mats(n, transpose, str(np.dtype(cdt)))
     x = x.reshape((-1,) + facs).astype(cdt)
     # contract each factor axis with its (small) Hadamard matrix on the MXU
-    ndim = len(facs)
     for ax, H in enumerate(mats):
         axis = 1 + ax
         x = jnp.moveaxis(x, axis, -1)
         x = jax.lax.dot_general(
-            x, H, (((x.ndim - 1,), (0,)), ((), ())),
+            x, jnp.asarray(H), (((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=cdt)
         x = jnp.moveaxis(x, -1, axis)
     x = x * np.float64(n) ** -0.5

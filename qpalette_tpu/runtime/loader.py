@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from qpalette_tpu.models.llama import (AttnSpec, LlamaConfig, MLPSpec,
                                        ModelSpec)
-from qpalette_tpu.ops.codebooks import (trellis_lut, vq_lut,
+from qpalette_tpu.ops.codebooks import (trellis_lut, trellis_tlut, vq_lut,
                                         tlut_bits_for_kv)
 from qpalette_tpu.quant.incoherent import (artifact_path, load_artifact,
                                            parse_quantizer_str,
@@ -98,10 +98,44 @@ def _spec_from_meta(meta: dict, impl: str) -> LinearSpec:
     raise ValueError(kind)
 
 
-def _params_from_artifact(art: dict, dtype) -> dict:
+def _params_from_artifact(art: dict, dtype, impl: str = "xla") -> dict:
     meta = art["meta"]
     p = {"wscale": jnp.asarray(art["Wscale"], jnp.float32)}
     kind = meta["kind"]
+    m, n = meta["out_features"], meta["in_features"]
+    if impl == "pallas":
+        from qpalette_tpu.kernels import formats as kf
+        if kind == "tcq":
+            p["trellis_kt"] = jnp.asarray(
+                kf.tcq_kernel_weights(art["trellis"], m, n))
+            p["tabs"] = jnp.asarray(kf.lut_tables(
+                art["tlut"] if "tlut" in art
+                else trellis_tlut(meta["tlut_bits"]), meta["tlut_bits"]))
+        elif kind == "tcomb":
+            n1, n2 = meta["in_part"]
+            p["trellis1_kt"] = jnp.asarray(
+                kf.tcq_kernel_weights(art["trellis1"], m, n1))
+            p["trellis2_kt"] = jnp.asarray(
+                kf.tcq_kernel_weights(art["trellis2"], m, n2))
+            p["tabs"] = jnp.asarray(kf.lut_tables(
+                art["tlut"] if "tlut" in art
+                else trellis_tlut(meta["tlut_bits"]), meta["tlut_bits"]))
+        elif kind == "comb":
+            m1, m2 = meta["out_part"]
+            p["trellis1_kt"] = jnp.asarray(
+                kf.tcq_kernel_weights(art["trellis1"], m1, n))
+            p["trellis2_kt"] = jnp.asarray(
+                kf.tcq_kernel_weights(art["trellis2"], m2, n))
+            p["tabs"] = jnp.asarray(kf.lut_tables(
+                art["tlut"] if "tlut" in art
+                else trellis_tlut(meta["tlut_bits"]), meta["tlut_bits"]))
+        elif kind == "vq":
+            lut = art["lut"] if "lut" in art else \
+                vq_lut(meta["bits"], meta["vec"])
+            p["qweight_t"] = jnp.asarray(kf.vq_kernel_weights(
+                art["qweight"], meta["bits"], meta["vec"], m, n))
+            p["tabs"] = jnp.asarray(kf.lut_tables(lut, meta["bits"]))
+        return p
     if kind == "tcq":
         p["trellis"] = jnp.asarray(art["trellis"])
     elif kind in ("tcomb", "comb"):
@@ -138,13 +172,15 @@ def merge_artifacts(arts: list) -> dict:
     if kind == "tcq":
         assert all(a["meta"]["KV"] == m0["KV"] for a in arts)
         out["trellis"] = np.concatenate([a["trellis"] for a in arts], axis=0)
-        out["tlut"] = arts[0].get("tlut")
+        if arts[0].get("tlut") is not None:
+            out["tlut"] = arts[0]["tlut"]
     elif kind == "tcomb":
         assert all(a["meta"]["KV1"] == m0["KV1"]
                    and a["meta"]["KV2"] == m0["KV2"] for a in arts)
         out["trellis1"] = np.concatenate([a["trellis1"] for a in arts], 0)
         out["trellis2"] = np.concatenate([a["trellis2"] for a in arts], 0)
-        out["tlut"] = arts[0].get("tlut")
+        if arts[0].get("tlut") is not None:
+            out["tlut"] = arts[0]["tlut"]
     elif kind == "vq":
         assert all(a["meta"]["bits"] == m0["bits"]
                    and a["meta"]["vec"] == m0["vec"] for a in arts)
@@ -208,8 +244,12 @@ def dummy_artifact(qstr: str, shape, seed: int = 0) -> dict:
 def _get_artifact(cfg, model_key, layer, key, qstr, save_dir, seed,
                   dense_w=None, dummy=False):
     if dummy:
-        return dummy_artifact(qstr, proj_shape(cfg, key),
-                              seed=hash((layer, key)) % (1 << 31))
+        art = dummy_artifact(qstr, proj_shape(cfg, key),
+                             seed=abs(hash((layer, key))) % (1 << 31))
+        # dummy mode must still share SU within each rotation group so
+        # merged projections remain constructible
+        art["SU"] = su_for(cfg, layer, key, seed)
+        return art
     path = artifact_path(save_dir, model_key, seed, qstr, layer, key)
     if os.path.exists(path):
         return load_artifact(path)
@@ -287,44 +327,44 @@ def build_quantized_model(cfg: LlamaConfig, qdict, merge_info=None,
         if merge_attn == "qkv":
             m = merge_artifacts([q, k, v])
             attn_projs.append(("qkv", _spec_from_meta(m["meta"], impl)))
-            lp["qkv"] = _params_from_artifact(m, dtype)
+            lp["qkv"] = _params_from_artifact(m, dtype, impl)
         elif merge_attn == "qk":
             m = merge_artifacts([q, k])
             attn_projs += [("qk", _spec_from_meta(m["meta"], impl)),
                            ("v", _spec_from_meta(v["meta"], impl))]
-            lp["qk"] = _params_from_artifact(m, dtype)
-            lp["v"] = _params_from_artifact(v, dtype)
+            lp["qk"] = _params_from_artifact(m, dtype, impl)
+            lp["v"] = _params_from_artifact(v, dtype, impl)
         elif merge_attn == "kv":
             m = merge_artifacts([k, v])
             attn_projs += [("q", _spec_from_meta(q["meta"], impl)),
                            ("kv", _spec_from_meta(m["meta"], impl))]
-            lp["q"] = _params_from_artifact(q, dtype)
-            lp["kv"] = _params_from_artifact(m, dtype)
+            lp["q"] = _params_from_artifact(q, dtype, impl)
+            lp["kv"] = _params_from_artifact(m, dtype, impl)
         elif merge_attn == "qv":
             m = merge_artifacts([q, v])
             attn_projs += [("qv", _spec_from_meta(m["meta"], impl)),
                            ("k", _spec_from_meta(k["meta"], impl))]
-            lp["qv"] = _params_from_artifact(m, dtype)
-            lp["k"] = _params_from_artifact(k, dtype)
+            lp["qv"] = _params_from_artifact(m, dtype, impl)
+            lp["k"] = _params_from_artifact(k, dtype, impl)
         else:
             for nm, a in (("q", q), ("k", k), ("v", v)):
                 attn_projs.append((nm, _spec_from_meta(a["meta"], impl)))
                 lp[nm] = _params_from_artifact(a, dtype)
         attn_projs.append(("o", _spec_from_meta(o["meta"], impl)))
-        lp["o"] = _params_from_artifact(o, dtype)
+        lp["o"] = _params_from_artifact(o, dtype, impl)
 
         if merge_ug:
             m = merge_artifacts([up, gate])
             mlp_projs = (("ug", _spec_from_meta(m["meta"], impl)),
                          ("down", _spec_from_meta(down["meta"], impl)))
-            lp["ug"] = _params_from_artifact(m, dtype)
+            lp["ug"] = _params_from_artifact(m, dtype, impl)
         else:
             mlp_projs = (("up", _spec_from_meta(up["meta"], impl)),
                          ("gate", _spec_from_meta(gate["meta"], impl)),
                          ("down", _spec_from_meta(down["meta"], impl)))
-            lp["up"] = _params_from_artifact(up, dtype)
-            lp["gate"] = _params_from_artifact(gate, dtype)
-        lp["down"] = _params_from_artifact(down, dtype)
+            lp["up"] = _params_from_artifact(up, dtype, impl)
+            lp["gate"] = _params_from_artifact(gate, dtype, impl)
+        lp["down"] = _params_from_artifact(down, dtype, impl)
 
         for a in arts.values():
             if a["meta"]["kind"] in ("tcq", "tcomb", "comb"):

@@ -1,0 +1,93 @@
+"""Fused Pallas kernel correctness vs the executable-spec decoders.
+
+Runs in interpreter mode on CPU (conftest sets QPALETTE_INTERPRET=1); the
+same kernels compile for TPU.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qpalette_tpu.kernels import formats as kf
+from qpalette_tpu.kernels import fused
+from qpalette_tpu.ops import packing
+from qpalette_tpu.ops.codebooks import trellis_lut, trellis_tlut, vq_lut
+from qpalette_tpu.quant import quantizers
+
+
+@pytest.mark.parametrize("bits,vec,m,k,N", [
+    (4, 1, 128, 512, 1),
+    (3, 1, 128, 1024, 2),
+    (8, 1, 256, 512, 1),
+    (6, 2, 128, 1024, 4),
+    (9, 2, 128, 1024, 1),
+])
+def test_vq_fused_matches_reference(bits, vec, m, k, N):
+    rng = np.random.default_rng(bits + vec)
+    P = k // vec
+    idx = rng.integers(0, 1 << bits, (m, P))
+    packed = packing.pack_rows(jnp.asarray(idx), bits)
+    lut = np.asarray(vq_lut(bits, vec, n_samples=1 << 14))
+
+    W = packing.dequant_lut(packed, jnp.asarray(lut), m, k, bits, vec)
+    x = jnp.asarray(rng.standard_normal((N, k)).astype(np.float32))
+    y_ref = np.asarray(x @ W.T)
+
+    qw_t = jnp.asarray(kf.vq_kernel_weights(np.asarray(packed), bits, vec,
+                                            m, k))
+    tabs = jnp.asarray(kf.lut_tables(lut, bits))
+    y = np.asarray(fused.vq_decode_matmul(x.astype(jnp.bfloat16), qw_t, tabs,
+                                          bits, vec, m, k))
+    rel = np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-9)
+    assert rel < 0.03, rel  # bf16 matmul tolerance
+
+
+@pytest.mark.parametrize("KV,m,k,N", [
+    (4, 128, 128, 1),
+    (3, 256, 256, 2),
+    (7, 128, 256, 1),
+    (10, 128, 128, 1),
+])
+def test_tcq_fused_matches_reference(KV, m, k, N):
+    from qpalette_tpu.ops.codebooks import tlut_bits_for_kv
+    S = tlut_bits_for_kv(KV)
+    rng = np.random.default_rng(KV)
+    # random but valid circular bitstreams
+    ntiles = (m // 16) * (k // 16)
+    words = rng.integers(0, 1 << 32, (ntiles, 4 * KV), dtype=np.uint32)
+    packed = jnp.asarray(words)
+    lut = trellis_lut(S)
+
+    W = packing.dequant_tcq(packed, jnp.asarray(lut), m, k, KV)
+    x = jnp.asarray(rng.standard_normal((N, k)).astype(np.float32))
+    y_ref = np.asarray(x @ W.T)
+
+    tr_kt = jnp.asarray(kf.tcq_kernel_weights(words, m, k))
+    tabs = jnp.asarray(kf.lut_tables(trellis_tlut(S), S))
+    y = np.asarray(fused.tcq_decode_matmul(x.astype(jnp.bfloat16), tr_kt,
+                                           tabs, KV, S, m, k))
+    rel = np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-9)
+    assert rel < 0.03, rel
+
+
+def test_tcomb_fused_via_quantizer():
+    """End-to-end: quantize -> kernel-format -> fused matmul == hatW @ x."""
+    rng = np.random.default_rng(0)
+    m, k = 128, 512
+    Wr = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+    linear, hatW = quantizers.quantize_mat_combt(Wr, None, KV1=4, KV2=5)
+    x = jnp.asarray(rng.standard_normal((2, k)).astype(np.float32))
+    y_ref = np.asarray(x @ hatW.T)
+
+    n1, n2 = linear["in_part"]
+    S = linear["tlut_bits"]
+    tabs = jnp.asarray(kf.lut_tables(trellis_tlut(S), S))
+    t1 = jnp.asarray(kf.tcq_kernel_weights(linear["trellis1"], m, n1))
+    t2 = jnp.asarray(kf.tcq_kernel_weights(linear["trellis2"], m, n2))
+    xb = x.astype(jnp.bfloat16)
+    y = np.asarray(
+        fused.tcq_decode_matmul(xb[:, :n1], t1, tabs, 4, S, m, n1)
+        + fused.tcq_decode_matmul(xb[:, n1:], t2, tabs, 5, S, m, n2))
+    rel = np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-9)
+    assert rel < 0.03, rel

@@ -1,0 +1,106 @@
+import numpy as np
+import pytest
+
+from qpalette_tpu.models.llama import LlamaConfig
+from qpalette_tpu.msq.memmodel import (calc_avg_bits, layer_mem_bytes,
+                                       LAYER_KEYS)
+from qpalette_tpu.msq.solver import (QDICT_MEM, QDICT_LAT,
+                                     solve_mem_constrained,
+                                     solve_lat_constrained, MERGE_GROUPS,
+                                     SIMPLE2KEY)
+
+CFG = LlamaConfig.llama31_8b()
+
+
+def _fake_err_table(qlist):
+    # monotone: more bits -> less err (2^-2R shape like the real table)
+    out = {}
+    for q in qlist:
+        from qpalette_tpu.quant.incoherent import parse_quantizer_str
+        R = parse_quantizer_str(q).avg_bits
+        out[q] = float(2.0 ** (-2.0 * R))
+    return out
+
+
+def test_mem_model_matches_reference_values():
+    # tcq_6 on q_proj (4096x4096): 3 bits/weight + tlut
+    m = layer_mem_bytes(CFG, "self_attn.q_proj", "tcq_6_none_0.9")
+    expect = 4096 * 4096 * 3 / 8 + (1 << 9) * 2 * 2
+    assert m == expect
+    # ldlq_2_6: lut_bits/vec = 3 bits + lut (reference mem_op.py:318-319)
+    m = layer_mem_bytes(CFG, "mlp.down_proj", "ldlq_2_6_none_1.0")
+    expect = 4096 * 14336 * 6 / 2 / 8 + (1 << 6) * 2 * 2
+    assert m == expect
+
+
+def test_solve_mem_constrained_meets_budget():
+    qlist = list(QDICT_MEM)
+    errs = _fake_err_table(qlist)
+    qdict = solve_mem_constrained(CFG, qlist, errs, target_bits=3.25)
+    assert len(qdict) == 32 * 7
+    bits = calc_avg_bits(CFG, qdict)
+    assert bits <= 3.25 + 1e-6
+    assert bits > 2.5  # should use most of the budget
+    # with a generous budget everything should pick the biggest quantizer
+    qdict_hi = solve_mem_constrained(CFG, qlist, errs, target_bits=5.0)
+    assert calc_avg_bits(CFG, qdict_hi) > bits
+
+
+def _fake_lat_coeffs(qlist):
+    """Synthetic per-group decode latency ~ bytes/bandwidth + fixed launch
+    overhead per kernel (so fusing helps, as on real hardware)."""
+    BW = 800e9
+    launch = 3e-6
+    coeffs = {"constant": 1.5e-3}
+    groups = list("qkvougd") + list(MERGE_GROUPS)
+    for g in groups:
+        bases = MERGE_GROUPS.get(g, (g,))
+        for q in qlist:
+            mem = sum(layer_mem_bytes(CFG, SIMPLE2KEY[b], q) for b in bases)
+            coeffs[f"{g}_{q}_False"] = launch + mem / BW
+            if q.startswith("ldlq"):
+                coeffs[f"{g}_{q}_True"] = 0.8 * launch + 1.1 * mem / BW
+    return coeffs
+
+
+def test_solve_lat_constrained_fusion_aware():
+    qlist = list(QDICT_LAT)
+    errs = _fake_err_table(qlist)
+    lat = _fake_lat_coeffs(qlist)
+    sol = solve_lat_constrained(CFG, qlist, errs, lat, target_thp=200.0,
+                                use_impl_choice=True)
+    assert sol.est_latency <= 1.0 / 200.0 + 1e-9
+    assert len(sol.qdict) == 32 * 7
+    assert len(sol.merge_info) == 32
+    # with per-kernel launch overhead, fusing should be chosen
+    assert any(mi for mi in sol.merge_info), "expected some merges"
+
+    # a higher throughput target forces lower bits => higher error
+    sol_fast = solve_lat_constrained(CFG, qlist, errs, lat,
+                                     target_thp=300.0)
+    assert sol_fast.est_err >= sol.est_err - 1e-12
+
+    # no_fuse must not produce merges
+    sol_nf = solve_lat_constrained(CFG, qlist, errs, lat, target_thp=200.0,
+                                   no_fuse=True)
+    assert all(not mi for mi in sol_nf.merge_info)
+    assert sol_nf.est_err >= sol.est_err - 1e-12
+
+
+def test_solver_output_loadable_by_loader():
+    """Solver output schema plugs straight into build_quantized_model."""
+    from qpalette_tpu.runtime.loader import build_quantized_model
+    cfg = LlamaConfig.tiny()
+    qlist = ["tcq_4_none_0.9", "tcomb_4_5_0.5_none_0.9"]
+    errs = _fake_err_table(qlist)
+    lat = {"constant": 0.0}
+    from qpalette_tpu.msq.solver import MERGE_GROUPS as MG
+    for g in list("qkvougd") + list(MG):
+        for q in qlist:
+            lat[f"{g}_{q}_False"] = 1e-5
+    sol = solve_lat_constrained(cfg, qlist, errs, lat, target_thp=100.0,
+                                num_layers=cfg.num_layers)
+    spec, params = build_quantized_model(
+        cfg, sol.qdict, merge_info=sol.merge_info, model_key="tiny_sol",
+        save_dir="/tmp/qpt_test_sol", dummy=True)
+    assert spec is not None
