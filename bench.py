@@ -1,0 +1,82 @@
+"""Driver benchmark: bs=1 decode throughput, Llama-3.1-8B @ 3.25-bit.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tokens/s", "vs_baseline": N}
+
+Baseline: reference Q-Palette ~195 tok/s (RTX 4090, latency-constrained MSQ,
+README.md:101).  Runs on the single available TPU chip with dummy-quantized
+weights (the reference's --dummy latency mode, mem_op.py:198-269) — decode
+throughput is weight-bandwidth-bound and independent of weight values.
+
+Env overrides: QPT_BENCH_LAYERS (default full 32), QPT_BENCH_TOKENS,
+QPT_BENCH_SCHEME, QPT_BENCH_IMPL (pallas|xla).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_TOKS = 195.0
+
+
+def main():
+    import jax
+    from qpalette_tpu.models.llama import LlamaConfig
+    from qpalette_tpu.runtime.loader import build_quantized_model
+    from qpalette_tpu.runtime.decode import generate, model_bytes
+
+    scheme = os.environ.get("QPT_BENCH_SCHEME", "tcomb_6_7_0.5_none_0.9")
+    impl = os.environ.get("QPT_BENCH_IMPL", "pallas")
+    n_layers = int(os.environ.get("QPT_BENCH_LAYERS", "32"))
+    n_tokens = int(os.environ.get("QPT_BENCH_TOKENS", "64"))
+
+    cfg = LlamaConfig.llama31_8b()
+    full_layers = cfg.num_layers
+
+    def run(nl):
+        spec, params = build_quantized_model(
+            cfg, scheme, model_key="bench_8b", save_dir="/tmp/qpt_bench",
+            dummy=True, impl=impl, num_layers=nl)
+        prompt = np.array([[1]], dtype=np.int32)
+        seq, stats = generate(spec, params, prompt,
+                              max_new_tokens=n_tokens,
+                              max_seq=2 * n_tokens, temperature=0.6,
+                              top_k=5)
+        return stats, model_bytes(params)
+
+    extrapolated = False
+    try:
+        stats, mbytes = run(n_layers)
+        toks = stats["tokens_per_sec"]
+        if n_layers < full_layers:
+            extrapolated = True
+    except Exception as e:
+        print(f"full-model bench failed ({type(e).__name__}: {e}); "
+              f"falling back to 8 layers", file=sys.stderr)
+        stats, mbytes = run(8)
+        # scale by layer fraction of per-token time (embed/lm_head overhead
+        # measured within the 8-layer run stays constant)
+        toks = stats["tokens_per_sec"]
+        extrapolated = True
+
+    if extrapolated and n_layers != full_layers:
+        # per-token time scales with quantized layer count
+        t_tok = 1.0 / toks
+        nl = 8 if "stats" in dir() else n_layers
+        toks = 1.0 / (t_tok * full_layers / max(n_layers, 8))
+
+    metric = ("decode tokens/s/chip bs=1 Llama-3.1-8B 3.25-bit"
+              + (" (extrapolated)" if extrapolated else ""))
+    print(json.dumps({
+        "metric": metric,
+        "value": round(float(toks), 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(float(toks) / BASELINE_TOKS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -166,7 +166,7 @@ def _tcq_kernel(x_ref, tr_ref, tab_ref, o_ref, d_ref, *, KV, S, tk, lanes_m):
             # bits [16-S-1, 16-1) index the tlut (bitshift.py:71-79)
             h = u * (u + jnp.uint32(1))
             sflp = 1.0 - 2.0 * ((h >> jnp.uint32(15)) & jnp.uint32(1)
-                                ).astype(jnp.float32)
+                                ).astype(jnp.int32).astype(jnp.float32)
             tidx = ((h >> jnp.uint32(16 - S - 1)) & maskS).astype(jnp.int32)
             v0 = _gather_chunks(tab_ref[0], tidx) * sflp
             v1 = _gather_chunks(tab_ref[1], tidx)

@@ -47,7 +47,7 @@ def test_vq_fused_matches_reference(bits, vec, m, k, N):
     (4, 128, 128, 1),
     (3, 256, 256, 2),
     (7, 128, 256, 1),
-    (10, 128, 128, 1),
+    (10, 64, 128, 1),
 ])
 def test_tcq_fused_matches_reference(KV, m, k, N):
     from qpalette_tpu.ops.codebooks import tlut_bits_for_kv

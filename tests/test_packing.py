@@ -78,3 +78,26 @@ def test_dequant_tcq_matches_manual():
     tiles = vals.reshape(ntiles, 16, 16)
     expect = np.asarray(packing.tiles_to_mat(jnp.asarray(tiles), m, k))
     assert np.allclose(np.asarray(w), expect)
+
+
+def test_native_pack_matches_jax():
+    from qpalette_tpu.ops import native_pack
+    if not native_pack.available():
+        import pytest
+        pytest.skip("native lib not built (make -C native)")
+    rng = np.random.default_rng(7)
+    for bits, P in [(3, 256), (6, 128), (12, 64)]:
+        idx = rng.integers(0, 1 << bits, (16, P))
+        native = native_pack.pack_rows(idx, bits)
+        ref = np.asarray(packing.pack_rows(jnp.asarray(idx), bits))
+        assert native.shape == ref.shape
+        assert np.array_equal(native, ref)
+        back = native_pack.unpack_rows(native, bits, P)
+        assert np.array_equal(back, idx)
+    for KV in (3, 6, 10):
+        states = _random_tailbiting_states(rng, 8, KV)
+        native = native_pack.pack_trellis(states, KV)
+        ref = np.asarray(packing.pack_trellis(jnp.asarray(states), KV))
+        assert np.array_equal(native, ref)
+        back = native_pack.unpack_trellis(native, KV)
+        assert np.array_equal(back, states)

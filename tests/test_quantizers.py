@@ -184,3 +184,34 @@ def test_parse_quantizer_str():
     assert s.bits == 6 and s.vec == 2 and s.avg_bits == 3.0
     s = parse_quantizer_str("tcq_6_hess_0.9")
     assert s.use_hess and s.avg_bits == 3.0
+
+
+def test_hessian_collection_and_coeffs():
+    from qpalette_tpu.models.llama import LlamaConfig
+    from qpalette_tpu.runtime.loader import (build_dense_model,
+                                             random_dense_params)
+    from qpalette_tpu.quant.hessian import (collect_hessians,
+                                            err_coeffs_from_hessians)
+    cfg = LlamaConfig.tiny()
+    dp = random_dense_params(cfg, seed=1)
+    spec, params = build_dense_model(cfg, dp)
+    rng = np.random.default_rng(0)
+    batches = [rng.integers(0, cfg.vocab_size, (2, 16)) for _ in range(2)]
+    H = collect_hessians(spec, params, batches)
+    assert set(H) == {f"{i}_{g}" for i in range(cfg.num_layers)
+                      for g in ("qkv", "o", "up", "down")}
+    Hq = H["0_qkv"]
+    assert Hq.shape == (cfg.hidden_size, cfg.hidden_size)
+    # PSD + symmetric
+    assert np.allclose(Hq, Hq.T, atol=1e-4)
+    assert np.linalg.eigvalsh(Hq).min() > -1e-3
+
+    coeffs = err_coeffs_from_hessians(H, dp, cfg.num_layers)
+    assert len(coeffs) == cfg.num_layers * 7
+    assert abs(np.mean(list(coeffs.values())) - 1.0) < 1e-6
+
+    # hessian-aware quantization consumes these H matrices
+    from qpalette_tpu.quant.incoherent import quantize_linear
+    art = quantize_linear(dp["layers"][0]["self_attn.q_proj"],
+                          "ldlq_1_3_hess_1.0", H=Hq, seed=0)
+    assert art["meta"]["err"] < 1.0
