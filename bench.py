@@ -24,6 +24,14 @@ BASELINE_TOKS = 195.0
 
 def main():
     import jax
+    # persistent compilation cache: first driver run pays compiles once
+    cache_dir = os.environ.get("QPT_COMPILE_CACHE",
+                               "/tmp/qpt_compile_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     from qpalette_tpu.models.llama import LlamaConfig
     from qpalette_tpu.runtime.loader import build_quantized_model
     from qpalette_tpu.runtime.decode import generate, model_bytes

@@ -178,9 +178,11 @@ def _tcq_kernel(x_ref, tr_ref, tab_ref, o_ref, d_ref, *, KV, S, tk, lanes_m):
     for v in range(16):
         accs.append(jax.lax.dot_general(
             xb, d_ref[v], (((1,), (0,)), ((), ())),
-            preferred_element_type=ACC))  # (N, 128)
-    acc = jnp.stack(accs, axis=-1)  # (N, lanes_m, 16)
-    acc = acc.reshape(xb.shape[0], lanes_m * 16)
+            preferred_element_type=ACC))  # (N, lanes_m)
+    # output stays in (v, N, tile-row) layout; the host-side wrapper
+    # transposes to (N, m) — an in-kernel lane<->sublane reshape is not
+    # supported by Mosaic
+    acc = jnp.stack(accs, axis=0)  # (16, N, lanes_m)
 
     @pl.when(j == 0)
     def _():
@@ -207,7 +209,7 @@ def tcq_decode_matmul(x, tr_kt, tabs, KV: int, S: int, m: int, k: int):
 
     out = pl.pallas_call(
         functools.partial(_tcq_kernel, KV=KV, S=S, tk=tk, lanes_m=lanes_m),
-        out_shape=jax.ShapeDtypeStruct((N, m), ACC),
+        out_shape=jax.ShapeDtypeStruct((16, N, m // 16), ACC),
         grid=(gm, gk),
         in_specs=[
             pl.BlockSpec((N, tk * 16), lambda i, j: (0, j),
@@ -217,12 +219,13 @@ def tcq_decode_matmul(x, tr_kt, tabs, KV: int, S: int, m: int, k: int):
             pl.BlockSpec(tabs.shape, lambda i, j: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((N, lanes_m * 16), lambda i, j: (0, i),
+        out_specs=pl.BlockSpec((16, N, lanes_m), lambda i, j: (0, 0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((16, tk * 16, lanes_m), DDT)],
         interpret=INTERPRET,
     )(xp, tr_kt, tabs)
-    return out
+    # (v, N, tile-row) -> (N, m): weight row = tile_row * 16 + v
+    return out.transpose(1, 2, 0).reshape(N, m)
 
 
 # ---------------------------------------------------------------------------

@@ -4,6 +4,8 @@ Runs in interpreter mode on CPU (conftest sets QPALETTE_INTERPRET=1); the
 same kernels compile for TPU.
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -19,9 +21,10 @@ from qpalette_tpu.quant import quantizers
 @pytest.mark.parametrize("bits,vec,m,k,N", [
     (4, 1, 128, 512, 1),
     (3, 1, 128, 1024, 2),
-    (8, 1, 256, 512, 1),
-    (6, 2, 128, 1024, 4),
-    (9, 2, 128, 1024, 1),
+    (8, 1, 128, 512, 1),
+    (6, 2, 128, 512, 4),
+    pytest.param(9, 2, 128, 1024, 1, marks=pytest.mark.skipif(
+        not os.environ.get("QPT_SLOW"), reason="slow interpret test")),
 ])
 def test_vq_fused_matches_reference(bits, vec, m, k, N):
     rng = np.random.default_rng(bits + vec)
@@ -45,9 +48,10 @@ def test_vq_fused_matches_reference(bits, vec, m, k, N):
 
 @pytest.mark.parametrize("KV,m,k,N", [
     (4, 128, 128, 1),
-    (3, 256, 256, 2),
-    (7, 128, 256, 1),
-    (10, 64, 128, 1),
+    (3, 128, 128, 2),
+    (7, 64, 128, 1),
+    pytest.param(10, 64, 128, 1, marks=pytest.mark.skipif(
+        not os.environ.get("QPT_SLOW"), reason="slow interpret test")),
 ])
 def test_tcq_fused_matches_reference(KV, m, k, N):
     from qpalette_tpu.ops.codebooks import tlut_bits_for_kv
