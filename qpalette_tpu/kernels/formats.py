@@ -36,7 +36,7 @@ def vq_kernel_weights(packed: np.ndarray, bits: int, vec: int, m: int,
                       k: int) -> np.ndarray:
     """rowpack (m, W+1) uint32 -> (P*bits/32, m) uint32 transposed."""
     P = k // vec
-    assert (P * bits) % 32 == 0 and P % 512 == 0, (P, bits)
+    assert (P * bits) % 32 == 0 and P % 128 == 0, (P, bits)
     W = P * bits // 32
     assert packed.shape[1] >= W
     return np.ascontiguousarray(np.asarray(packed)[:, :W].T)

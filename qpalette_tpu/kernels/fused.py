@@ -44,14 +44,23 @@ DDT = jnp.bfloat16  # decoded-weight dtype for the MXU
 
 
 def _gather_chunks(tab, idx):
-    """tab (nch, 8, 128) f32 tables; idx (8, 128) int32 -> values (8, 128)."""
+    """tab (nch, 8, 128) f32 tables; idx (8, W) int32 -> values (8, W).
+
+    Table lanes are the 128 codebook entries of each chunk (replicated
+    across sublanes); `where` folds chunks for codebooks > 128 entries.
+    Mosaic's dynamic_gather wants index shape == table shape, so narrower
+    index tiles (kv projections have 64 tile-row lanes) are lane-padded to
+    128 and the result sliced back."""
     nch = tab.shape[0]
+    w = idx.shape[1]
+    if w != LANES:
+        idx = jnp.pad(idx, ((0, 0), (0, LANES - w)))
     low = idx & (LANES - 1)
     out = jnp.take_along_axis(tab[0], low, axis=1)
     for ch in range(1, nch):
         g = jnp.take_along_axis(tab[ch], low, axis=1)
         out = jnp.where((idx >> 7) == ch, g, out)
-    return out
+    return out if w == LANES else out[:, :w]
 
 
 # ---------------------------------------------------------------------------

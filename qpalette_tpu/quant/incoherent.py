@@ -84,6 +84,10 @@ def parse_quantizer_str(qstr: str) -> QuantizerSpec:
         _, bits, hess, scale = parts
         return QuantizerSpec(qstr, "vq2", hess == "hess", float(scale),
                              bits=int(bits), vec=2)
+    if fam == "rotfp16":
+        # rotated dense baseline (reference model/rotated_llama.py:306-391
+        # QuaRot-style fp16 model with online Hadamard)
+        return QuantizerSpec(qstr, "rotfp16", False, 1.0, bits=16, vec=1)
     raise ValueError(f"unknown quantizer_str {qstr!r}")
 
 
@@ -140,6 +144,11 @@ def quantize_linear(W, quantizer_str: str, SU=None, H=None,
     elif spec.family in ("ldlq",):
         linear, hatWr = quantizers.quantize_mat_vq(
             Wr, HRr, spec.bits, spec.vec, spec.use_hess and HRr is not None)
+    elif spec.family == "rotfp16":
+        linear = {"kind": "dense_rot",
+                  "w": np.asarray(Wr, np.float32),
+                  "in_features": n, "out_features": m}
+        hatWr = Wr
     elif spec.family in ("sq", "vq2"):
         # kmeans+ALS family; LDLQ machinery with data-built codebook would be
         # the full ALS — round-1 uses the shared LDLQ path with the standard
@@ -155,6 +164,13 @@ def quantize_linear(W, quantizer_str: str, SU=None, H=None,
     orig_err = float(jnp.mean((scaled_W - scaled_hat) ** 2))
     rel_err = float(orig_err / jnp.mean(scaled_W ** 2))
 
+    # incoherence diagnostics (reference calc_kurtosis/skewness,
+    # incoherent_linear.py:561-569)
+    Wn = Wr / jnp.maximum(
+        jnp.sqrt(jnp.mean(Wr ** 2, axis=1, keepdims=True)), 1e-12)
+    kurt = float(jnp.mean(jnp.mean(Wn ** 4, axis=1) - 3.0))
+    skew = float(jnp.mean(jnp.mean(Wn ** 3, axis=1)))
+
     art = {
         "meta": {
             "quantizer_str": quantizer_str,
@@ -164,6 +180,8 @@ def quantize_linear(W, quantizer_str: str, SU=None, H=None,
             "rot_info": "skip_r",
             "err": rel_err,
             "orig_err": orig_err,
+            "kurtosis": kurt,
+            "skewness": skew,
             **{k: v for k, v in linear.items()
                if not isinstance(v, np.ndarray)},
         },

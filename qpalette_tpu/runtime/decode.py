@@ -102,6 +102,63 @@ def generate(spec, params, prompt: np.ndarray, max_new_tokens: int,
                  "timed_tokens": n_timed}
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "n_tokens", "temperature",
+                                    "top_k"))
+def generate_scan(spec, params, first_token, kv_caches, start_pos, key,
+                  n_tokens: int, temperature: float = 0.6,
+                  top_k: Optional[int] = 5):
+    """Whole decode loop as one lax.scan inside a single jit dispatch.
+
+    first_token (B, 1); returns (tokens (B, n_tokens), final caches).
+    This is the TPU analogue of the reference's CUDA-graph capture
+    (lib/utils/graph_wrapper.py / torch.compile decode loop): one device
+    program per generation burst instead of one per token.
+    """
+    def step(carry, i):
+        tok, caches, k = carry
+        k, sk = jax.random.split(k)
+        logits, caches = llama.forward(spec, params, tok,
+                                       kv_caches=caches,
+                                       cache_pos=start_pos + i)
+        nxt = sample_logits(logits[:, -1], sk, temperature, top_k)[:, None]
+        return (nxt, caches, k), nxt[:, 0]
+
+    (_, caches, _), toks = jax.lax.scan(
+        step, (first_token, kv_caches, key), jnp.arange(n_tokens))
+    return toks.T, caches
+
+
+def generate_fast(spec, params, prompt: np.ndarray, max_new_tokens: int,
+                  max_seq: Optional[int] = None, temperature: float = 0.6,
+                  top_k: Optional[int] = 5, seed: int = 1234):
+    """Generation with the scan-based loop; returns (seq, stats)."""
+    B, S = prompt.shape
+    T = max_seq or (S + max_new_tokens)
+    caches = llama.init_kv_caches(spec, B, T)
+    tokens = jnp.asarray(prompt, jnp.int32)
+    logits, caches = prefill(spec, params, tokens, caches)
+    key = jax.random.PRNGKey(seed)
+    key, k0 = jax.random.split(key)
+    cur = sample_logits(logits[:, -1], k0, temperature, top_k)[:, None]
+
+    # compile + warm
+    toks, caches2 = generate_scan(spec, params, cur, caches, jnp.int32(S),
+                                  key, 2, temperature, top_k)
+    np.asarray(toks)
+    n = max_new_tokens - 2
+    t0 = time.perf_counter()
+    toks, caches = generate_scan(spec, params, cur, caches2,
+                                 jnp.int32(S + 2), key, n, temperature,
+                                 top_k)
+    toks_np = np.asarray(toks)
+    dt = time.perf_counter() - t0
+    seq = np.concatenate([np.asarray(prompt), np.asarray(cur), toks_np],
+                         axis=1)
+    return seq, {"tokens_per_sec": n * B / dt, "decode_time_s": dt,
+                 "timed_tokens": n}
+
+
 def model_bytes(params) -> int:
     """Total on-device parameter+buffer bytes (for achieved-GB/s reporting,
     reference measure_latency.py:164-186)."""

@@ -44,16 +44,44 @@ def eval_ppl(spec, params, token_stream: np.ndarray, ctx_size: int = 8192,
     return float(np.exp(avg)), avg
 
 
+def _tokenize(texts, tokenizer_name, joiner):
+    from transformers import AutoTokenizer
+    tok = AutoTokenizer.from_pretrained(tokenizer_name)
+    return np.asarray(tok(joiner.join(texts),
+                          return_tensors="np").input_ids[0])
+
+
 def wikitext2_tokens(tokenizer_name: str = "meta-llama/Llama-3.1-8B",
                      split: str = "test"):
-    """Load + tokenize WikiText-2 (reference lib/utils/gptq_data_utils.py).
+    """Load + tokenize WikiText-2 (reference gptq_data_utils.py:9-40).
 
     Requires local HF cache (no network egress in this environment); raises
     a clear error otherwise so callers can fall back to synthetic streams.
     """
     from datasets import load_dataset  # type: ignore
-    from transformers import AutoTokenizer
     ds = load_dataset("wikitext", "wikitext-2-raw-v1", split=split)
-    tok = AutoTokenizer.from_pretrained(tokenizer_name)
-    text = "\n\n".join(ds["text"])
-    return np.asarray(tok(text, return_tensors="np").input_ids[0])
+    return _tokenize(ds["text"], tokenizer_name, "\n\n")
+
+
+def ptb_tokens(tokenizer_name: str = "meta-llama/Llama-3.1-8B",
+               split: str = "test"):
+    """PTB test stream (reference gptq_data_utils.py ptb loader)."""
+    from datasets import load_dataset  # type: ignore
+    ds = load_dataset("ptb_text_only", "penn_treebank", split=split)
+    return _tokenize(ds["sentence"], tokenizer_name, " ")
+
+
+def c4_tokens(tokenizer_name: str = "meta-llama/Llama-3.1-8B",
+              n_docs: int = 1100):
+    """C4 validation stream (reference gptq_data_utils.py c4 loader)."""
+    from datasets import load_dataset  # type: ignore
+    ds = load_dataset("allenai/c4", "en",
+                      data_files={"validation":
+                                  "en/c4-validation.00000-of-00008.json.gz"},
+                      split="validation")
+    return _tokenize([ds[i]["text"] for i in range(min(n_docs, len(ds)))],
+                     tokenizer_name, " ")
+
+
+DATASET_LOADERS = {"wikitext2": wikitext2_tokens, "ptb": ptb_tokens,
+                   "c4": c4_tokens}

@@ -95,6 +95,8 @@ def _spec_from_meta(meta: dict, impl: str) -> LinearSpec:
                           split=tuple(meta["out_part"]), **common)
     if kind == "vq":
         return LinearSpec("vq", bits=meta["bits"], vec=meta["vec"], **common)
+    if kind == "dense_rot":
+        return LinearSpec("dense_rot", **common)
     raise ValueError(kind)
 
 
@@ -135,6 +137,9 @@ def _params_from_artifact(art: dict, dtype, impl: str = "xla") -> dict:
             p["qweight_t"] = jnp.asarray(kf.vq_kernel_weights(
                 art["qweight"], meta["bits"], meta["vec"], m, n))
             p["tabs"] = jnp.asarray(kf.lut_tables(lut, meta["bits"]))
+        return p
+    if kind == "dense_rot":
+        p["w"] = jnp.asarray(art["w"], dtype)
         return p
     if kind == "tcq":
         p["trellis"] = jnp.asarray(art["trellis"])
@@ -349,7 +354,7 @@ def build_quantized_model(cfg: LlamaConfig, qdict, merge_info=None,
         else:
             for nm, a in (("q", q), ("k", k), ("v", v)):
                 attn_projs.append((nm, _spec_from_meta(a["meta"], impl)))
-                lp[nm] = _params_from_artifact(a, dtype)
+                lp[nm] = _params_from_artifact(a, dtype, impl)
         attn_projs.append(("o", _spec_from_meta(o["meta"], impl)))
         lp["o"] = _params_from_artifact(o, dtype, impl)
 

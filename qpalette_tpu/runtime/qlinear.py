@@ -80,6 +80,13 @@ def qlinear_apply(spec: LinearSpec, p: dict, z: jax.Array,
         return jax.lax.dot_general(
             z, w, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32).astype(z.dtype)
+    if spec.kind == "dense_rot":
+        # rotated-dense baseline (QuaRot-style): full-precision weights in
+        # the rotated space, same Wscale epilogue as quantized layers
+        y = jax.lax.dot_general(
+            z, p["w"], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return (y * p["wscale"][None, :].astype(jnp.float32)).astype(z.dtype)
     if spec.impl == "pallas":
         from qpalette_tpu.kernels import fused
         y = fused.decode_matmul(spec, p, z, luts)
