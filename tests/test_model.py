@@ -120,3 +120,17 @@ def test_dummy_mode_builds(tmp_path):
     toks = jnp.asarray(np.arange(8)[None, :] % CFG.vocab_size, jnp.int32)
     logits = forward(qspec, qparams, toks)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_generate_fast_matches_generate(dense_setup):
+    """Scan-based generation must produce valid tokens (greedy determinism
+    check against the python-loop path)."""
+    from qpalette_tpu.runtime.decode import generate_fast
+    _, spec, params = dense_setup
+    prompt = np.array([[1, 2, 3]], dtype=np.int32)
+    seq_f, stats = generate_fast(spec, params, prompt, max_new_tokens=6,
+                                 max_seq=16, temperature=0.0)
+    seq_s, _ = generate(spec, params, prompt, max_new_tokens=6,
+                        max_seq=16, temperature=0.0)
+    assert seq_f.shape == seq_s.shape == (1, 9)
+    assert np.array_equal(seq_f, seq_s), (seq_f, seq_s)
