@@ -34,7 +34,7 @@ def main():
         pass
     from qpalette_tpu.models.llama import LlamaConfig
     from qpalette_tpu.runtime.loader import build_quantized_model
-    from qpalette_tpu.runtime.decode import generate, model_bytes
+    from qpalette_tpu.runtime.decode import generate_fast, model_bytes
 
     scheme = os.environ.get("QPT_BENCH_SCHEME", "tcomb_6_7_0.5_none_0.9")
     impl = os.environ.get("QPT_BENCH_IMPL", "pallas")
@@ -44,37 +44,35 @@ def main():
     cfg = LlamaConfig.llama31_8b()
     full_layers = cfg.num_layers
 
+    # headline config uses fused QKV / gate-up (reference README.md:89-101)
+    merge = os.environ.get("QPT_BENCH_MERGE", "1") == "1"
+
     def run(nl):
+        mi = [["merge_qkv", "merge_ug"]] * nl if merge else None
         spec, params = build_quantized_model(
-            cfg, scheme, model_key="bench_8b", save_dir="/tmp/qpt_bench",
-            dummy=True, impl=impl, num_layers=nl)
+            cfg, scheme, merge_info=mi, model_key="bench_8b",
+            save_dir="/tmp/qpt_bench", dummy=True, impl=impl, num_layers=nl)
         prompt = np.array([[1]], dtype=np.int32)
-        seq, stats = generate(spec, params, prompt,
-                              max_new_tokens=n_tokens,
-                              max_seq=2 * n_tokens, temperature=0.6,
-                              top_k=5)
+        seq, stats = generate_fast(spec, params, prompt,
+                                   max_new_tokens=n_tokens,
+                                   max_seq=2 * n_tokens, temperature=0.6,
+                                   top_k=5)
         return stats, model_bytes(params)
 
     extrapolated = False
+    n_run = n_layers
     try:
         stats, mbytes = run(n_layers)
-        toks = stats["tokens_per_sec"]
-        if n_layers < full_layers:
-            extrapolated = True
     except Exception as e:
-        print(f"full-model bench failed ({type(e).__name__}: {e}); "
+        print(f"{n_layers}-layer bench failed ({type(e).__name__}: {e}); "
               f"falling back to 8 layers", file=sys.stderr)
-        stats, mbytes = run(8)
-        # scale by layer fraction of per-token time (embed/lm_head overhead
-        # measured within the 8-layer run stays constant)
-        toks = stats["tokens_per_sec"]
+        n_run = 8
+        stats, mbytes = run(n_run)
+    toks = stats["tokens_per_sec"]
+    if n_run != full_layers:
         extrapolated = True
-
-    if extrapolated and n_layers != full_layers:
         # per-token time scales with quantized layer count
-        t_tok = 1.0 / toks
-        nl = 8 if "stats" in dir() else n_layers
-        toks = 1.0 / (t_tok * full_layers / max(n_layers, 8))
+        toks = 1.0 / ((1.0 / toks) * full_layers / n_run)
 
     metric = ("decode tokens/s/chip bs=1 Llama-3.1-8B 3.25-bit"
               + (" (extrapolated)" if extrapolated else ""))

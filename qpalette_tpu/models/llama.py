@@ -187,7 +187,27 @@ def attn_forward(spec: AttnSpec, cfg: LlamaConfig, p: dict, x: jax.Array,
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
-    if kv_cache is not None:
+    if kv_cache is not None and len(kv_cache) == 4:
+        # int8-quantized KV cache (reference model/cache_utils.py
+        # QuantizedCache zoo): per-(token, head) absmax scales
+        ck, cks, cv, cvs = kv_cache
+
+        def q8(x):
+            s8 = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1,
+                         keepdims=True) / 127.0 + 1e-8
+            return (jnp.round(x.astype(jnp.float32) / s8)
+                    .astype(jnp.int8), s8.astype(jnp.float32))
+
+        k8, ks = q8(k)
+        v8, vs = q8(v)
+        ck = jax.lax.dynamic_update_slice(ck, k8, (0, cache_pos, 0, 0))
+        cks = jax.lax.dynamic_update_slice(cks, ks, (0, cache_pos, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v8, (0, cache_pos, 0, 0))
+        cvs = jax.lax.dynamic_update_slice(cvs, vs, (0, cache_pos, 0, 0))
+        k_full = (ck.astype(jnp.float32) * cks).astype(k.dtype)
+        v_full = (cv.astype(jnp.float32) * cvs).astype(v.dtype)
+        new_kv = (ck, cks, cv, cvs)
+    elif kv_cache is not None:
         ck, cv = kv_cache  # (B, T, hk, d)
         ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
                                           (0, cache_pos, 0, 0))
@@ -279,12 +299,21 @@ def forward(spec: ModelSpec, params: Params, tokens: jax.Array,
     return logits
 
 
-def init_kv_caches(spec: ModelSpec, batch: int, max_seq: int):
+def init_kv_caches(spec: ModelSpec, batch: int, max_seq: int,
+                   quantized: bool = False):
+    """Preallocated KV caches; quantized=True uses int8 values + f32
+    per-(token, head) scales (half the bytes of bf16 — the reference's
+    QuantizedCache analogue)."""
     cfg = spec.config
+    shp = (batch, max_seq, cfg.num_kv_heads, cfg.head_dim)
+    sshp = (batch, max_seq, cfg.num_kv_heads, 1)
+    if quantized:
+        return [
+            (jnp.zeros(shp, jnp.int8), jnp.ones(sshp, jnp.float32),
+             jnp.zeros(shp, jnp.int8), jnp.ones(sshp, jnp.float32))
+            for _ in range(cfg.num_layers)
+        ]
     return [
-        (jnp.zeros((batch, max_seq, cfg.num_kv_heads, cfg.head_dim),
-                   cfg.dtype),
-         jnp.zeros((batch, max_seq, cfg.num_kv_heads, cfg.head_dim),
-                   cfg.dtype))
+        (jnp.zeros(shp, cfg.dtype), jnp.zeros(shp, cfg.dtype))
         for _ in range(cfg.num_layers)
     ]

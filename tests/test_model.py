@@ -134,3 +134,26 @@ def test_generate_fast_matches_generate(dense_setup):
                         max_seq=16, temperature=0.0)
     assert seq_f.shape == seq_s.shape == (1, 9)
     assert np.array_equal(seq_f, seq_s), (seq_f, seq_s)
+
+
+def test_quantized_kv_cache_decode(dense_setup):
+    """int8 KV cache decode must track the bf16-cache decode closely."""
+    _, spec, params = dense_setup
+    B, S = 1, 8
+    rng = np.random.default_rng(3)
+    toks = jnp.asarray(rng.integers(0, CFG.vocab_size, (B, S)), jnp.int32)
+    from qpalette_tpu.models.llama import forward as fwd
+    c16 = init_kv_caches(spec, B, 16)
+    c8 = init_kv_caches(spec, B, 16, quantized=True)
+    l16, c16 = fwd(spec, params, toks, kv_caches=c16, cache_pos=0)
+    l8, c8 = fwd(spec, params, toks, kv_caches=c8, cache_pos=0)
+    a, b = np.asarray(l16), np.asarray(l8)
+    rel = np.mean((a - b) ** 2) / (np.mean(a ** 2) + 1e-9)
+    assert rel < 1e-3, rel
+    # one more incremental step
+    nxt = toks[:, :1]
+    l16b, _ = fwd(spec, params, nxt, kv_caches=c16, cache_pos=S)
+    l8b, _ = fwd(spec, params, nxt, kv_caches=c8, cache_pos=S)
+    rel = float(np.mean((np.asarray(l16b) - np.asarray(l8b)) ** 2)
+                / (np.mean(np.asarray(l16b) ** 2) + 1e-9))
+    assert rel < 1e-3, rel

@@ -215,3 +215,27 @@ def test_hessian_collection_and_coeffs():
     art = quantize_linear(dp["layers"][0]["self_attn.q_proj"],
                           "ldlq_1_3_hess_1.0", H=Hq, seed=0)
     assert art["meta"]["err"] < 1.0
+
+
+def test_cd_refinement_reduces_weighted_error():
+    from qpalette_tpu.quant.refine import cd_refine_vq
+    from qpalette_tpu.ops.codebooks import vq_lut
+    rng = np.random.default_rng(7)
+    m, n, bits, vec = 32, 64, 3, 2
+    W = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
+    A = rng.standard_normal((n, 4 * n)).astype(np.float32)
+    H = jnp.asarray(A @ A.T / (4 * n))
+    lut = jnp.asarray(vq_lut(bits, vec))
+    _, hat0 = quantizers.quantize_mat_vq(W, H, bits=bits, vec=vec,
+                                         use_hess=True)
+    hat1, idxs = cd_refine_vq(W, hat0, H, lut, vec, sweeps=2)
+    Hn = np.asarray(regularize_h(H))
+
+    def obj(hat):
+        E = np.asarray(hat) - np.asarray(W)
+        return float(np.trace(E @ Hn @ E.T))
+
+    assert obj(hat1) <= obj(hat0) + 1e-5, (obj(hat0), obj(hat1))
+    # codes consistent with hat
+    dec = np.asarray(lut)[np.asarray(idxs)].reshape(m, n)
+    assert np.allclose(dec, np.asarray(hat1), atol=1e-6)
