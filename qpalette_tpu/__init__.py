@@ -17,3 +17,27 @@ Layer map (bottom → top), mirroring reference SURVEY.md §1:
 """
 
 __version__ = "0.1.0"
+
+_EXPORTS = {
+    "LlamaConfig": "qpalette_tpu.models.llama",
+    "forward": "qpalette_tpu.models.llama",
+    "quantize_linear": "qpalette_tpu.quant.incoherent",
+    "parse_quantizer_str": "qpalette_tpu.quant.incoherent",
+    "build_quantized_model": "qpalette_tpu.runtime.loader",
+    "build_dense_model": "qpalette_tpu.runtime.loader",
+    "generate": "qpalette_tpu.runtime.decode",
+    "generate_fast": "qpalette_tpu.runtime.decode",
+    "eval_ppl": "qpalette_tpu.runtime.evaluate",
+    "solve_mem_constrained": "qpalette_tpu.msq.solver",
+    "solve_lat_constrained": "qpalette_tpu.msq.solver",
+    "make_mesh": "qpalette_tpu.parallel.sharding",
+    "shard_params": "qpalette_tpu.parallel.sharding",
+}
+
+
+def __getattr__(name):  # lazy top-level API (avoids importing jax eagerly)
+    if name in _EXPORTS:
+        import importlib
+        mod = importlib.import_module(_EXPORTS[name])
+        return getattr(mod, name)
+    raise AttributeError(name)

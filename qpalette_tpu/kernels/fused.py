@@ -11,18 +11,23 @@ TPU-native design (per-vreg decode, MXU matmul):
   * Weight rows (VQ) / tile-rows (TCQ) live in LANES; packed words in
     sublanes (kernels/formats.py layouts).
   * Positions are mapped to vregs so the bit-window shift is a scalar per
-    vreg (VQ, stride-P/8 interleave) or a static vector (TCQ); the window
+    vreg (VQ, stride-P/8 interleave) or an iota vector (TCQ); the window
     is two sublane-selects + shifts + or — no data-dependent control flow.
   * Codebook lookup = Mosaic lane-gather (`take_along_axis(tab, idx,
-    axis=1)`) over 128-entry chunks replicated across sublanes, with
-    `where`-selects across chunks for codebooks > 128 entries.
+    axis=1)`) over 128-entry chunks replicated across sublanes and tiled
+    across the lane width, with `where`-selects folding chunks for
+    codebooks > 128 entries.
   * Decoded blocks land in a VMEM scratch in a kernel-chosen column order;
     the activation is pre-permuted once per call by reshape/transpose, so
     the MXU contraction is a plain dot.  (This mirrors how the reference
     permutes weights into mma order at pack time — here the cheap side,
     the activation, absorbs the permutation instead.)
-  * Grid (m-blocks, k-blocks), accumulation over k in the revisited output
-    block; Pallas double-buffers the packed-weight streams from HBM.
+  * Blocking: decode ALU cost is negligible on the VPU (measured); the
+    binding constraint is per-grid-step overhead, so blocks are made large
+    — wide lane blocks (up to 512 weight rows / 256 tile-rows) and several
+    k-chunks per grid step — with accumulation over the k grid dimension
+    in the revisited output block.  Pallas double-buffers the packed
+    streams from HBM.
 """
 
 from __future__ import annotations
@@ -43,24 +48,45 @@ ACC = jnp.float32
 DDT = jnp.bfloat16  # decoded-weight dtype for the MXU
 
 
-def _gather_chunks(tab, idx):
-    """tab (nch, 8, 128) f32 tables; idx (8, W) int32 -> values (8, W).
+def _pick_width(total: int, candidates=(512, 256, 128)) -> int:
+    for c in candidates:
+        if total % c == 0:
+            return c
+    return total  # < 128 (small models/tests): single narrow block
 
-    Table lanes are the 128 codebook entries of each chunk (replicated
-    across sublanes); `where` folds chunks for codebooks > 128 entries.
-    Mosaic's dynamic_gather wants index shape == table shape, so narrower
-    index tiles (kv projections have 64 tile-row lanes) are lane-padded to
-    128 and the result sliced back."""
+
+def _tile_tables(lut: jax.Array, bits: int, width: int) -> jax.Array:
+    """(2^bits, vec) codebook -> (vec, nch, 8, width) gather tables.
+
+    Each 128-entry chunk is replicated across sublanes and tiled across the
+    lane width (indices are masked to [0,128), so any copy serves)."""
+    n, vec = lut.shape
+    lutf = lut.astype(jnp.float32)
+    nch = max(1, n // LANES)
+    if n < LANES:
+        lutf = jnp.pad(lutf, ((0, LANES - n), (0, 0)))
+    chunks = lutf.T.reshape(vec, nch, 1, LANES)
+    # never narrower than one full chunk (narrow index tiles are padded in
+    # _gather_chunks instead — slicing the table would drop entries)
+    reps = max(1, width // LANES)
+    return jnp.tile(chunks, (1, 1, 8, reps))
+
+
+def _gather_chunks(tab, idx):
+    """tab (nch, 8, W); idx (8, W) int32 (entry ids) -> values (8, W)."""
     nch = tab.shape[0]
     w = idx.shape[1]
-    if w != LANES:
-        idx = jnp.pad(idx, ((0, 0), (0, LANES - w)))
     low = idx & (LANES - 1)
+    if w < LANES:  # narrow tiles: lane-pad indices to the table width
+        low = jnp.pad(low, ((0, 0), (0, tab.shape[2] - w)))
     out = jnp.take_along_axis(tab[0], low, axis=1)
     for ch in range(1, nch):
         g = jnp.take_along_axis(tab[ch], low, axis=1)
-        out = jnp.where((idx >> 7) == ch, g, out)
-    return out if w == LANES else out[:, :w]
+        sel = idx >> 7
+        if w < LANES:
+            sel = jnp.pad(sel, ((0, 0), (0, tab.shape[2] - w)))
+        out = jnp.where(sel == ch, g, out)
+    return out[:, :w] if w < LANES else out
 
 
 # ---------------------------------------------------------------------------
@@ -74,26 +100,29 @@ def _pick_kb(P: int, bits: int) -> int:
     raise ValueError(f"unsupported position count {P} for bits={bits}")
 
 
-def _vq_kernel(x_ref, qw_ref, tab_ref, o_ref, d_ref, *, bits, vec, kb):
+def _vq_kernel(x_ref, qw_ref, tab_ref, o_ref, d_ref, *, bits, vec, kb, kj,
+               bm):
     j = pl.program_id(1)
-    g = kb * bits // 256  # words per sublane-group
-    wr = qw_ref[:].reshape(8, g, LANES)
+    g = kb * bits // 256  # words per sublane-group per k-chunk
+    wpb = kb * bits // 32
     mask = jnp.uint32((1 << bits) - 1)
-    for v in range(kb // 8):
-        bit = v * bits
-        c, sh = bit // 32, bit % 32
-        lo = wr[:, c, :]
-        if sh == 0:
-            win = lo
-        else:
-            hi = wr[:, c + 1, :] if c + 1 < g else lo
-            win = (lo >> jnp.uint32(sh)) | (
-                (hi << jnp.uint32(31 - sh)) << jnp.uint32(1))
-        idx = (win & mask).astype(jnp.int32)
-        for comp in range(vec):
-            val = _gather_chunks(tab_ref[comp], idx)
-            r = (v * vec + comp) * 8
-            d_ref[r:r + 8, :] = val.astype(DDT)
+    for c_kj in range(kj):
+        wr = qw_ref[c_kj * wpb:(c_kj + 1) * wpb, :].reshape(8, g, bm)
+        for v in range(kb // 8):
+            bit = v * bits
+            c, sh = bit // 32, bit % 32
+            lo = wr[:, c, :]
+            if sh == 0:
+                win = lo
+            else:
+                hi = wr[:, c + 1, :] if c + 1 < g else lo
+                win = (lo >> jnp.uint32(sh)) | (
+                    (hi << jnp.uint32(31 - sh)) << jnp.uint32(1))
+            idx = (win & mask).astype(jnp.int32)
+            for comp in range(vec):
+                val = _gather_chunks(tab_ref[comp], idx)
+                r = c_kj * kb * vec + (v * vec + comp) * 8
+                d_ref[r:r + 8, :] = val.astype(DDT)
     acc = jax.lax.dot_general(
         x_ref[:], d_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=ACC)
@@ -108,35 +137,40 @@ def _vq_kernel(x_ref, qw_ref, tab_ref, o_ref, d_ref, *, bits, vec, kb):
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "vec", "m", "k"))
-def vq_decode_matmul(x, qw_t, tabs, bits: int, vec: int, m: int, k: int):
-    """x (N, k) bf16; qw_t (P*bits/32, m) uint32; tabs (vec, nch, 8, 128).
+def vq_decode_matmul(x, qw_t, lut, bits: int, vec: int, m: int, k: int):
+    """x (N, k) bf16; qw_t (P*bits/32, m) uint32; lut (2^bits, vec).
 
     Returns (N, m) f32 = x @ dequant(qw)^T (no Wscale)."""
     from qpalette_tpu.kernels.formats import vq_x_perm
     N = x.shape[0]
     P = k // vec
     kb = _pick_kb(P, bits)
-    gk = P // kb
-    gm = m // LANES
-    wpb = kb * bits // 32  # words per block
+    bm = _pick_width(m)
+    # k-chunks per grid step, capped so the decode scratch stays ~2MB
+    kj = next(c for c in (4, 2, 1)
+              if (P // kb) % c == 0 and c * kb * vec <= 2048)
+    gk = P // (kb * kj)
+    gm = m // bm
+    wpb = kb * bits // 32  # words per k-chunk
 
+    tabs = _tile_tables(lut, bits, bm)
     xp = vq_x_perm(x, vec, kb).astype(DDT)
-    grid = (gm, gk)
     out = pl.pallas_call(
-        functools.partial(_vq_kernel, bits=bits, vec=vec, kb=kb),
+        functools.partial(_vq_kernel, bits=bits, vec=vec, kb=kb, kj=kj,
+                          bm=bm),
         out_shape=jax.ShapeDtypeStruct((N, m), ACC),
-        grid=grid,
+        grid=(gm, gk),
         in_specs=[
-            pl.BlockSpec((N, kb * vec), lambda i, j: (0, j),
+            pl.BlockSpec((N, kj * kb * vec), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((wpb, LANES), lambda i, j: (j, i),
+            pl.BlockSpec((kj * wpb, bm), lambda i, j: (j, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(tabs.shape, lambda i, j: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((N, LANES), lambda i, j: (0, i),
+        out_specs=pl.BlockSpec((N, bm), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((kb * vec, LANES), DDT)],
+        scratch_shapes=[pltpu.VMEM((kj * kb * vec, bm), DDT)],
         interpret=INTERPRET,
     )(xp, qw_t, tabs)
     return out
@@ -146,13 +180,13 @@ def vq_decode_matmul(x, qw_t, tabs, bits: int, vec: int, m: int, k: int):
 # TCQ fused kernel
 # ---------------------------------------------------------------------------
 
-def _tcq_kernel(x_ref, tr_ref, tab_ref, o_ref, d_ref, *, KV, S, tk, lanes_m):
+def _tcq_kernel(x_ref, tr_ref, tab_ref, o_ref, d_ref, *, KV, S, tk, wm):
     j = pl.program_id(1)
     W = 4 * KV
     maskS = jnp.uint32((1 << S) - 1)
+    sv = jax.lax.broadcasted_iota(jnp.int32, (8, wm), 0)
     for kt in range(tk):
-        tile_words = tr_ref[kt]  # (4KV, 128)
-        sv = jax.lax.broadcasted_iota(jnp.int32, (8, lanes_m), 0)
+        tile_words = tr_ref[kt]  # (4KV, wm)
         for v in range(16):
             base_bits = 8 * v * KV
             wbase = base_bits // 32
@@ -187,11 +221,11 @@ def _tcq_kernel(x_ref, tr_ref, tab_ref, o_ref, d_ref, *, KV, S, tk, lanes_m):
     for v in range(16):
         accs.append(jax.lax.dot_general(
             xb, d_ref[v], (((1,), (0,)), ((), ())),
-            preferred_element_type=ACC))  # (N, lanes_m)
+            preferred_element_type=ACC))  # (N, wm)
     # output stays in (v, N, tile-row) layout; the host-side wrapper
     # transposes to (N, m) — an in-kernel lane<->sublane reshape is not
     # supported by Mosaic
-    acc = jnp.stack(accs, axis=0)  # (16, N, lanes_m)
+    acc = jnp.stack(accs, axis=0)  # (16, N, wm)
 
     @pl.when(j == 0)
     def _():
@@ -203,34 +237,36 @@ def _tcq_kernel(x_ref, tr_ref, tab_ref, o_ref, d_ref, *, KV, S, tk, lanes_m):
 
 
 @functools.partial(jax.jit, static_argnames=("KV", "S", "m", "k"))
-def tcq_decode_matmul(x, tr_kt, tabs, KV: int, S: int, m: int, k: int):
-    """x (N, k) bf16; tr_kt (k/16, 4KV, m/16) uint32; tabs (2, nch, 8, 128).
+def tcq_decode_matmul(x, tr_kt, tlut, KV: int, S: int, m: int, k: int):
+    """x (N, k) bf16; tr_kt (k/16, 4KV, m/16) uint32; tlut (2^S, 2).
 
     Returns (N, m) f32 = x @ dequant(trellis)^T (no Wscale)."""
     N = x.shape[0]
-    tk = min(8, k // 16)
-    gk = (k // 16) // tk
-    lanes_m = min(LANES, m // 16)
-    gm = (m // 16) // lanes_m
+    kt_total = k // 16
+    tk = next(c for c in (16, 8, 4, 2, 1) if kt_total % c == 0)
+    wm = _pick_width(m // 16, candidates=(256, 128, 64))
+    gk = kt_total // tk
+    gm = (m // 16) // wm
     # activation permutation: within each 16-col tile, (2s+c) -> (c*8+s)
     xp = x.reshape(N, k // 16, 8, 2).transpose(0, 1, 3, 2).reshape(N, k)
     xp = xp.astype(DDT)
 
+    tabs = _tile_tables(tlut, S, wm)
     out = pl.pallas_call(
-        functools.partial(_tcq_kernel, KV=KV, S=S, tk=tk, lanes_m=lanes_m),
+        functools.partial(_tcq_kernel, KV=KV, S=S, tk=tk, wm=wm),
         out_shape=jax.ShapeDtypeStruct((16, N, m // 16), ACC),
         grid=(gm, gk),
         in_specs=[
             pl.BlockSpec((N, tk * 16), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk, 4 * KV, lanes_m), lambda i, j: (j, 0, i),
+            pl.BlockSpec((tk, 4 * KV, wm), lambda i, j: (j, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(tabs.shape, lambda i, j: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((16, N, lanes_m), lambda i, j: (0, 0, i),
+        out_specs=pl.BlockSpec((16, N, wm), lambda i, j: (0, 0, i),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((16, tk * 16, lanes_m), DDT)],
+        scratch_shapes=[pltpu.VMEM((16, tk * 16, wm), DDT)],
         interpret=INTERPRET,
     )(xp, tr_kt, tabs)
     # (v, N, tile-row) -> (N, m): weight row = tile_row * 16 + v
@@ -243,27 +279,27 @@ def tcq_decode_matmul(x, tr_kt, tabs, KV: int, S: int, m: int, k: int):
 
 def decode_matmul(spec, p, z, luts):
     """Fused path entry: expects kernel-format params prepared by the
-    loader (keys qweight_t / trellis_kt / tabs)."""
+    loader (keys qweight_t / trellis_kt / clut)."""
     m, n = spec.out_features, spec.in_features
     zb = z.astype(DDT)
     if spec.kind == "vq":
-        return vq_decode_matmul(zb, p["qweight_t"], p["tabs"],
+        return vq_decode_matmul(zb, p["qweight_t"], p["clut"],
                                 spec.bits, spec.vec, m, n)
     if spec.kind == "tcq":
-        return tcq_decode_matmul(zb, p["trellis_kt"], p["tabs"],
+        return tcq_decode_matmul(zb, p["trellis_kt"], p["clut"],
                                  spec.KV[0], spec.tlut_bits, m, n)
     if spec.kind == "tcomb":
         n1, n2 = spec.split
-        y1 = tcq_decode_matmul(zb[:, :n1], p["trellis1_kt"], p["tabs"],
+        y1 = tcq_decode_matmul(zb[:, :n1], p["trellis1_kt"], p["clut"],
                                spec.KV[0], spec.tlut_bits, m, n1)
-        y2 = tcq_decode_matmul(zb[:, n1:], p["trellis2_kt"], p["tabs"],
+        y2 = tcq_decode_matmul(zb[:, n1:], p["trellis2_kt"], p["clut"],
                                spec.KV[1], spec.tlut_bits, m, n2)
         return y1 + y2
     if spec.kind == "comb":
         m1, m2 = spec.split
-        y1 = tcq_decode_matmul(zb, p["trellis1_kt"], p["tabs"],
+        y1 = tcq_decode_matmul(zb, p["trellis1_kt"], p["clut"],
                                spec.KV[0], spec.tlut_bits, m1, n)
-        y2 = tcq_decode_matmul(zb, p["trellis2_kt"], p["tabs"],
+        y2 = tcq_decode_matmul(zb, p["trellis2_kt"], p["clut"],
                                spec.KV[1], spec.tlut_bits, m2, n)
         return jnp.concatenate([y1, y2], axis=1)
     raise ValueError(spec.kind)

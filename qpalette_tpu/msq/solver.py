@@ -310,6 +310,6 @@ def solve_lat_constrained(cfg: LlamaConfig, qlist: List[str],
                     hi = mid
                 else:
                     lo = mid
-    qdict, merge_info, terr, tlat, _ = sol[0], sol[1], sol[2], sol[3]
+    qdict, merge_info, terr, tlat = sol[0], sol[1], sol[2], sol[3]
     return LatSolution(qdict, merge_info,
                        tlat + float(lat_coeffs.get("constant", 0.0)), terr)

@@ -107,36 +107,38 @@ def _params_from_artifact(art: dict, dtype, impl: str = "xla") -> dict:
     m, n = meta["out_features"], meta["in_features"]
     if impl == "pallas":
         from qpalette_tpu.kernels import formats as kf
+
+        def tlut_arr():
+            t = art["tlut"] if "tlut" in art else \
+                trellis_tlut(meta["tlut_bits"])
+            return jnp.asarray(t, jnp.float32)
+
         if kind == "tcq":
             p["trellis_kt"] = jnp.asarray(
                 kf.tcq_kernel_weights(art["trellis"], m, n))
-            p["tabs"] = jnp.asarray(kf.lut_tables(
-                art["tlut"] if "tlut" in art
-                else trellis_tlut(meta["tlut_bits"]), meta["tlut_bits"]))
+            p["clut"] = tlut_arr()
         elif kind == "tcomb":
             n1, n2 = meta["in_part"]
             p["trellis1_kt"] = jnp.asarray(
                 kf.tcq_kernel_weights(art["trellis1"], m, n1))
             p["trellis2_kt"] = jnp.asarray(
                 kf.tcq_kernel_weights(art["trellis2"], m, n2))
-            p["tabs"] = jnp.asarray(kf.lut_tables(
-                art["tlut"] if "tlut" in art
-                else trellis_tlut(meta["tlut_bits"]), meta["tlut_bits"]))
+            p["clut"] = tlut_arr()
         elif kind == "comb":
             m1, m2 = meta["out_part"]
             p["trellis1_kt"] = jnp.asarray(
                 kf.tcq_kernel_weights(art["trellis1"], m1, n))
             p["trellis2_kt"] = jnp.asarray(
                 kf.tcq_kernel_weights(art["trellis2"], m2, n))
-            p["tabs"] = jnp.asarray(kf.lut_tables(
-                art["tlut"] if "tlut" in art
-                else trellis_tlut(meta["tlut_bits"]), meta["tlut_bits"]))
+            p["clut"] = tlut_arr()
         elif kind == "vq":
             lut = art["lut"] if "lut" in art else \
                 vq_lut(meta["bits"], meta["vec"])
             p["qweight_t"] = jnp.asarray(kf.vq_kernel_weights(
                 art["qweight"], meta["bits"], meta["vec"], m, n))
-            p["tabs"] = jnp.asarray(kf.lut_tables(lut, meta["bits"]))
+            p["clut"] = jnp.asarray(lut, jnp.float32)
+        elif kind == "dense_rot":
+            p["w"] = jnp.asarray(art["w"], dtype)
         return p
     if kind == "dense_rot":
         p["w"] = jnp.asarray(art["w"], dtype)

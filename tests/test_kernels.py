@@ -39,9 +39,8 @@ def test_vq_fused_matches_reference(bits, vec, m, k, N):
 
     qw_t = jnp.asarray(kf.vq_kernel_weights(np.asarray(packed), bits, vec,
                                             m, k))
-    tabs = jnp.asarray(kf.lut_tables(lut, bits))
-    y = np.asarray(fused.vq_decode_matmul(x.astype(jnp.bfloat16), qw_t, tabs,
-                                          bits, vec, m, k))
+    y = np.asarray(fused.vq_decode_matmul(x.astype(jnp.bfloat16), qw_t,
+                                          jnp.asarray(lut), bits, vec, m, k))
     rel = np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-9)
     assert rel < 0.03, rel  # bf16 matmul tolerance
 
@@ -68,9 +67,9 @@ def test_tcq_fused_matches_reference(KV, m, k, N):
     y_ref = np.asarray(x @ W.T)
 
     tr_kt = jnp.asarray(kf.tcq_kernel_weights(words, m, k))
-    tabs = jnp.asarray(kf.lut_tables(trellis_tlut(S), S))
-    y = np.asarray(fused.tcq_decode_matmul(x.astype(jnp.bfloat16), tr_kt,
-                                           tabs, KV, S, m, k))
+    y = np.asarray(fused.tcq_decode_matmul(
+        x.astype(jnp.bfloat16), tr_kt, jnp.asarray(trellis_tlut(S)),
+        KV, S, m, k))
     rel = np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-9)
     assert rel < 0.03, rel
 
@@ -86,12 +85,12 @@ def test_tcomb_fused_via_quantizer():
 
     n1, n2 = linear["in_part"]
     S = linear["tlut_bits"]
-    tabs = jnp.asarray(kf.lut_tables(trellis_tlut(S), S))
+    tl = jnp.asarray(trellis_tlut(S))
     t1 = jnp.asarray(kf.tcq_kernel_weights(linear["trellis1"], m, n1))
     t2 = jnp.asarray(kf.tcq_kernel_weights(linear["trellis2"], m, n2))
     xb = x.astype(jnp.bfloat16)
     y = np.asarray(
-        fused.tcq_decode_matmul(xb[:, :n1], t1, tabs, 4, S, m, n1)
-        + fused.tcq_decode_matmul(xb[:, n1:], t2, tabs, 5, S, m, n2))
+        fused.tcq_decode_matmul(xb[:, :n1], t1, tl, 4, S, m, n1)
+        + fused.tcq_decode_matmul(xb[:, n1:], t2, tl, 5, S, m, n2))
     rel = np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-9)
     assert rel < 0.03, rel
