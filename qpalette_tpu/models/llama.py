@@ -143,7 +143,10 @@ def _attention(q, k, v, mask, cfg: LlamaConfig):
     v = jnp.repeat(v, rep, axis=2)
     qf = q.astype(jnp.float32) * (D ** -0.5)
     logits = jnp.einsum("bshd,bthd->bhst", qf, k.astype(jnp.float32))
-    logits = logits + mask[None, None, :, :]
+    if mask.ndim == 2:
+        logits = logits + mask[None, None, :, :]
+    else:  # per-row mask (B, S, T)
+        logits = logits + mask[:, None, :, :]
     p = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhst,bthd->bshd", p, v.astype(jnp.float32))
     return out.reshape(B, S, H * D).astype(q.dtype)
@@ -187,6 +190,19 @@ def attn_forward(spec: AttnSpec, cfg: LlamaConfig, p: dict, x: jax.Array,
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
+    def _store(cache, val):
+        """Write val (B, S, hk, d) at cache_pos (scalar or per-row (B,))."""
+        if jnp.ndim(cache_pos) == 0:
+            return jax.lax.dynamic_update_slice(
+                cache, val.astype(cache.dtype), (0, cache_pos, 0, 0))
+        # per-slot positions (continuous batching): scatter per row
+        Bv, Sv = val.shape[:2]
+        rows = jnp.repeat(jnp.arange(Bv), Sv)
+        cols = (cache_pos[:, None]
+                + jnp.arange(Sv)[None, :]).reshape(-1)
+        return cache.at[rows, cols].set(
+            val.astype(cache.dtype).reshape((Bv * Sv,) + val.shape[2:]))
+
     if kv_cache is not None and len(kv_cache) == 4:
         # int8-quantized KV cache (reference model/cache_utils.py
         # QuantizedCache zoo): per-(token, head) absmax scales
@@ -200,19 +216,17 @@ def attn_forward(spec: AttnSpec, cfg: LlamaConfig, p: dict, x: jax.Array,
 
         k8, ks = q8(k)
         v8, vs = q8(v)
-        ck = jax.lax.dynamic_update_slice(ck, k8, (0, cache_pos, 0, 0))
-        cks = jax.lax.dynamic_update_slice(cks, ks, (0, cache_pos, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v8, (0, cache_pos, 0, 0))
-        cvs = jax.lax.dynamic_update_slice(cvs, vs, (0, cache_pos, 0, 0))
+        ck = _store(ck, k8)
+        cks = _store(cks, ks)
+        cv = _store(cv, v8)
+        cvs = _store(cvs, vs)
         k_full = (ck.astype(jnp.float32) * cks).astype(k.dtype)
         v_full = (cv.astype(jnp.float32) * cvs).astype(v.dtype)
         new_kv = (ck, cks, cv, cvs)
     elif kv_cache is not None:
         ck, cv = kv_cache  # (B, T, hk, d)
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
-                                          (0, cache_pos, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
-                                          (0, cache_pos, 0, 0))
+        ck = _store(ck, k)
+        cv = _store(cv, v)
         k_full, v_full, new_kv = ck, cv, (ck, cv)
     else:
         k_full, v_full, new_kv = k, v, (k, v)
@@ -252,9 +266,17 @@ def mlp_forward(spec: MLPSpec, cfg: LlamaConfig, p: dict, x: jax.Array,
 
 
 def _causal_mask(S: int, T: int, offset) -> jax.Array:
-    """Additive mask: query i (global pos offset+i) sees keys <= its pos."""
-    q = jax.lax.broadcasted_iota(jnp.int32, (S, T), 0) + offset
-    kpos = jax.lax.broadcasted_iota(jnp.int32, (S, T), 1)
+    """Additive mask: query i (global pos offset+i) sees keys <= its pos.
+
+    offset may be scalar or per-row (B,) (continuous batching); result is
+    (S, T) or (B, S, T)."""
+    if jnp.ndim(offset) == 0:
+        q = jax.lax.broadcasted_iota(jnp.int32, (S, T), 0) + offset
+        kpos = jax.lax.broadcasted_iota(jnp.int32, (S, T), 1)
+        return jnp.where(kpos <= q, 0.0, -1e30).astype(jnp.float32)
+    q = (jax.lax.broadcasted_iota(jnp.int32, (S, T), 0)[None]
+         + offset[:, None, None])
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (S, T), 1)[None]
     return jnp.where(kpos <= q, 0.0, -1e30).astype(jnp.float32)
 
 
@@ -275,7 +297,11 @@ def forward(spec: ModelSpec, params: Params, tokens: jax.Array,
         T = S
         offset = 0
     mask = _causal_mask(S, T, offset)
-    pos = jnp.arange(S)[None, :] + (cache_pos if kv_caches is not None else 0)
+    off = cache_pos if kv_caches is not None else 0
+    if jnp.ndim(off) == 1:
+        pos = jnp.arange(S)[None, :] + off[:, None]
+    else:
+        pos = jnp.arange(S)[None, :] + off
     cos, sin = rope_tables(pos, cfg.head_dim, cfg.rope_theta)
 
     luts = params.get("luts", {})

@@ -1,0 +1,71 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from qpalette_tpu.models.llama import LlamaConfig, forward, init_kv_caches
+from qpalette_tpu.runtime.loader import (build_dense_model,
+                                         random_dense_params)
+from qpalette_tpu.runtime.decode import generate
+from qpalette_tpu.runtime.serving import ContinuousBatcher
+
+import dataclasses
+CFG = dataclasses.replace(LlamaConfig.tiny(), dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def model():
+    # larger weight scale -> decisive logits, so greedy decoding is
+    # robust to bf16 reduction-order noise across differently-compiled
+    # paths (prefill vs pool-step)
+    dp = random_dense_params(CFG, seed=0, scale=0.35)
+    return build_dense_model(CFG, dp)
+
+
+def test_vector_cache_pos_matches_scalar(model):
+    spec, params = model
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(0, CFG.vocab_size, (2, 1)), jnp.int32)
+    c1 = init_kv_caches(spec, 2, 8)
+    l_scalar, c1 = forward(spec, params, toks, kv_caches=c1, cache_pos=3)
+    c2 = init_kv_caches(spec, 2, 8)
+    l_vec, c2 = forward(spec, params, toks, kv_caches=c2,
+                        cache_pos=jnp.array([3, 3], jnp.int32))
+    assert np.allclose(np.asarray(l_scalar), np.asarray(l_vec), atol=1e-3)
+    for (a, b), (c, d) in zip(c1, c2):
+        assert np.allclose(np.asarray(a), np.asarray(c), atol=1e-3)
+
+
+def test_continuous_batcher_matches_generate(model):
+    spec, params = model
+    prompt = [1, 2, 3]
+    ref_seq, _ = generate(spec, params, np.asarray([prompt], np.int32),
+                          max_new_tokens=5, max_seq=32, temperature=0.0)
+
+    cb = ContinuousBatcher(spec, params, n_slots=2, max_seq=32,
+                           temperature=0.0)
+    rid = cb.submit(prompt, max_new_tokens=5)
+    done = cb.run()
+    assert rid in done
+    out = done[rid].output
+    assert len(out) == 5
+    assert out == list(ref_seq[0, len(prompt):]), (out, ref_seq)
+
+
+def test_continuous_batcher_multiplexes(model):
+    spec, params = model
+    cb = ContinuousBatcher(spec, params, n_slots=2, max_seq=32,
+                           temperature=0.0)
+    rids = [cb.submit([1 + i, 2 + i], max_new_tokens=3 + i)
+            for i in range(3)]  # 3 requests through 2 slots
+    done = cb.run()
+    assert set(done) == set(rids)
+    for i, rid in enumerate(rids):
+        assert len(done[rid].output) == 3 + i
+
+    # each request must match its solo run
+    for i, rid in enumerate(rids):
+        solo = ContinuousBatcher(spec, params, n_slots=1, max_seq=32,
+                                 temperature=0.0)
+        srid = solo.submit([1 + i, 2 + i], max_new_tokens=3 + i)
+        sdone = solo.run()
+        assert sdone[srid].output == done[rid].output, i
