@@ -104,3 +104,14 @@ def test_solver_output_loadable_by_loader():
         cfg, sol.qdict, merge_info=sol.merge_info, model_key="tiny_sol",
         save_dir="/tmp/qpt_test_sol", dummy=True)
     assert spec is not None
+
+
+def test_proxy_err_matches_reference_published():
+    """Data-free proxy errors must land near the reference's published
+    table (assets/quant_err.pt: ldlq_1_4 -> 0.00950, ldlq_2_6 -> 0.02972,
+    measured on 4096x4096; we use 512x512 so allow sampling slack)."""
+    from qpalette_tpu.msq.err_tables import quantizer_proxy_err
+    e14 = quantizer_proxy_err("ldlq_1_4_none_1.0", size=512)
+    assert abs(e14 - 0.00950) / 0.00950 < 0.15, e14
+    e26 = quantizer_proxy_err("ldlq_2_6_none_1.0", size=512)
+    assert abs(e26 - 0.02972) / 0.02972 < 0.15, e26
