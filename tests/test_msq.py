@@ -115,3 +115,14 @@ def test_proxy_err_matches_reference_published():
     assert abs(e14 - 0.00950) / 0.00950 < 0.15, e14
     e26 = quantizer_proxy_err("ldlq_2_6_none_1.0", size=512)
     assert abs(e26 - 0.02972) / 0.02972 < 0.15, e26
+
+
+@pytest.mark.skipif(not __import__("os").environ.get("QPT_SLOW"),
+                    reason="~1 min CPU viterbi")
+def test_tcq_proxy_err_matches_reference_published():
+    """TCQ proxy errors vs reference assets/quant_err.pt: tcq_6 -> 0.01891,
+    tcomb_6_7 -> 0.01455 (the headline 3.25-bit scheme).  Measured here at
+    256x256 (reference used 4096x4096): observed 0.01456 vs 0.01455."""
+    from qpalette_tpu.msq.err_tables import quantizer_proxy_err
+    e = quantizer_proxy_err("tcomb_6_7_0.5_none_0.9", size=256)
+    assert abs(e - 0.01455) / 0.01455 < 0.12, e
