@@ -126,3 +126,32 @@ def test_tcq_proxy_err_matches_reference_published():
     from qpalette_tpu.msq.err_tables import quantizer_proxy_err
     e = quantizer_proxy_err("tcomb_6_7_0.5_none_0.9", size=256)
     assert abs(e - 0.01455) / 0.01455 < 0.12, e
+
+
+def test_latmodel_fit_and_table():
+    from qpalette_tpu.msq.latmodel import (fit_family_model, build_lat_table,
+                                           parse_samples_output)
+    text = """OH 1000.0
+VQ 4 1 4096 4096 110.0
+VQ 6 2 4096 14336 260.0
+TCQ 6 9 4096 2048 240.0
+TCQ 6 9 14336 2048 700.0
+"""
+    samples = parse_samples_output(text, CFG)
+    assert len(samples) == 4
+    fp = fit_family_model(samples)
+    assert set(fp) == {"vq", "tcq"}
+    table = build_lat_table(CFG, list(QDICT_LAT), fp)
+    # full schema coverage for the solver
+    from qpalette_tpu.msq.solver import MERGE_GROUPS
+    for g in list("qkvougd") + list(MERGE_GROUPS):
+        for q in QDICT_LAT:
+            assert f"{g}_{q}_False" in table
+    # more bytes -> more time
+    assert table["d_ldlq_2_12_none_1.0_False"] > \
+        table["d_ldlq_2_3_none_1.0_False"]
+    # feeds the solver end-to-end
+    errs = _fake_err_table(list(QDICT_LAT))
+    sol = solve_lat_constrained(CFG, list(QDICT_LAT), errs, table,
+                                target_thp=20.0)
+    assert sol.qdict
