@@ -55,38 +55,50 @@ def _pick_width(total: int, candidates=(512, 256, 128)) -> int:
     return total  # < 128 (small models/tests): single narrow block
 
 
-def _tile_tables(lut: jax.Array, bits: int, width: int) -> jax.Array:
-    """(2^bits, vec) codebook -> (vec, nch, 8, width) gather tables.
+def _tile_tables(lut: jax.Array, bits: int, width: int = LANES) -> jax.Array:
+    """(2^bits, vec) codebook -> (vec, nch, 8, 128) gather tables.
 
-    Each 128-entry chunk is replicated across sublanes and tiled across the
-    lane width (indices are masked to [0,128), so any copy serves)."""
+    Each 128-entry chunk is replicated across the 8 sublanes; Mosaic's
+    dynamic_gather is single-vreg in BOTH dimensions, so tables are always
+    one vreg wide and _gather_chunks slices wide index tiles into 128-lane
+    pieces."""
     n, vec = lut.shape
     lutf = lut.astype(jnp.float32)
     nch = max(1, n // LANES)
     if n < LANES:
         lutf = jnp.pad(lutf, ((0, LANES - n), (0, 0)))
     chunks = lutf.T.reshape(vec, nch, 1, LANES)
-    # never narrower than one full chunk (narrow index tiles are padded in
-    # _gather_chunks instead — slicing the table would drop entries)
-    reps = max(1, width // LANES)
-    return jnp.tile(chunks, (1, 1, 8, reps))
+    return jnp.tile(chunks, (1, 1, 8, 1))
 
 
-def _gather_chunks(tab, idx):
-    """tab (nch, 8, W); idx (8, W) int32 (entry ids) -> values (8, W)."""
+def _gather_one_vreg(tab, idx):
+    """tab (nch, 8, 128); idx (8, W<=128) -> values (8, W)."""
     nch = tab.shape[0]
     w = idx.shape[1]
     low = idx & (LANES - 1)
-    if w < LANES:  # narrow tiles: lane-pad indices to the table width
-        low = jnp.pad(low, ((0, 0), (0, tab.shape[2] - w)))
+    if w < LANES:  # narrow tiles: lane-pad indices to one full vreg
+        low = jnp.pad(low, ((0, 0), (0, LANES - w)))
     out = jnp.take_along_axis(tab[0], low, axis=1)
     for ch in range(1, nch):
         g = jnp.take_along_axis(tab[ch], low, axis=1)
         sel = idx >> 7
         if w < LANES:
-            sel = jnp.pad(sel, ((0, 0), (0, tab.shape[2] - w)))
+            sel = jnp.pad(sel, ((0, 0), (0, LANES - w)))
         out = jnp.where(sel == ch, g, out)
     return out[:, :w] if w < LANES else out
+
+
+def _gather_chunks(tab, idx):
+    """tab (nch, 8, 128); idx (8, W) int32 (entry ids) -> values (8, W).
+
+    Mosaic's dynamic_gather is limited to a single vreg along the gather
+    dimension, so wide index tiles are processed 128 lanes at a time."""
+    w = idx.shape[1]
+    if w <= LANES:
+        return _gather_one_vreg(tab, idx)
+    parts = [_gather_one_vreg(tab, idx[:, c:c + LANES])
+             for c in range(0, w, LANES)]
+    return jnp.concatenate(parts, axis=1)
 
 
 # ---------------------------------------------------------------------------

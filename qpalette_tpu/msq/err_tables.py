@@ -74,7 +74,6 @@ def build_err_table(qlist: List[str], size: int = 4096,
     table = {}
     if path and os.path.exists(path):
         table = json.load(open(path))
-    changed = False
     for q in qlist:
         if q not in table:
             t0 = time.time()
@@ -82,9 +81,8 @@ def build_err_table(qlist: List[str], size: int = 4096,
             if verbose:
                 print(f"  err[{q}] = {table[q]:.5f} "
                       f"({time.time() - t0:.1f}s)", flush=True)
-            changed = True
-    if path and changed:
-        json.dump(table, open(path, "w"), indent=1)
+            if path:  # incremental save: entries are expensive
+                json.dump(table, open(path, "w"), indent=1)
     return table
 
 
