@@ -100,11 +100,75 @@ def _spec_from_meta(meta: dict, impl: str) -> LinearSpec:
     raise ValueError(kind)
 
 
+def _rand_u32(key, shape):
+    return jax.random.bits(key, shape, jnp.uint32)
+
+
 def _params_from_artifact(art: dict, dtype, impl: str = "xla") -> dict:
     meta = art["meta"]
     p = {"wscale": jnp.asarray(art["Wscale"], jnp.float32)}
     kind = meta["kind"]
     m, n = meta["out_features"], meta["in_features"]
+    if art.get("__device_dummy__") is not None:
+        # dummy latency mode: generate packed bits directly on device
+        # (uploading GBs of host-side random weights through the tunnel
+        # would dominate bench startup)
+        key = jax.random.PRNGKey(int(art["__device_dummy__"]))
+        if impl == "pallas":
+            if kind == "tcq":
+                KV = meta["KV"]
+                p["trellis_kt"] = _rand_u32(key, (n // 16, 4 * KV, m // 16))
+                p["clut"] = jnp.asarray(trellis_tlut(meta["tlut_bits"]),
+                                        jnp.float32)
+            elif kind == "tcomb":
+                n1, n2 = meta["in_part"]
+                k1, k2 = jax.random.split(key)
+                p["trellis1_kt"] = _rand_u32(
+                    k1, (n1 // 16, 4 * meta["KV1"], m // 16))
+                p["trellis2_kt"] = _rand_u32(
+                    k2, (n2 // 16, 4 * meta["KV2"], m // 16))
+                p["clut"] = jnp.asarray(trellis_tlut(meta["tlut_bits"]),
+                                        jnp.float32)
+            elif kind == "comb":
+                m1, m2 = meta["out_part"]
+                k1, k2 = jax.random.split(key)
+                p["trellis1_kt"] = _rand_u32(
+                    k1, (n // 16, 4 * meta["KV1"], m1 // 16))
+                p["trellis2_kt"] = _rand_u32(
+                    k2, (n // 16, 4 * meta["KV2"], m2 // 16))
+                p["clut"] = jnp.asarray(trellis_tlut(meta["tlut_bits"]),
+                                        jnp.float32)
+            elif kind == "vq":
+                bits, vec = meta["bits"], meta["vec"]
+                p["qweight_t"] = _rand_u32(key, ((n // vec) * bits // 32, m))
+                p["clut"] = jnp.asarray(vq_lut(bits, vec), jnp.float32)
+            else:
+                raise ValueError(kind)
+            return p
+        # xla path: canonical formats on device
+        if kind == "tcq":
+            T = (m // 16) * (n // 16)
+            p["trellis"] = _rand_u32(key, (T, 4 * meta["KV"]))
+        elif kind == "tcomb":
+            n1, n2 = meta["in_part"]
+            k1, k2 = jax.random.split(key)
+            p["trellis1"] = _rand_u32(k1, ((m // 16) * (n1 // 16),
+                                           4 * meta["KV1"]))
+            p["trellis2"] = _rand_u32(k2, ((m // 16) * (n2 // 16),
+                                           4 * meta["KV2"]))
+        elif kind == "comb":
+            m1, m2 = meta["out_part"]
+            k1, k2 = jax.random.split(key)
+            p["trellis1"] = _rand_u32(k1, ((m1 // 16) * (n // 16),
+                                           4 * meta["KV1"]))
+            p["trellis2"] = _rand_u32(k2, ((m2 // 16) * (n // 16),
+                                           4 * meta["KV2"]))
+        elif kind == "vq":
+            bits, vec = meta["bits"], meta["vec"]
+            nw = -(-(n // vec * bits) // 32) + 1
+            p["qweight"] = _rand_u32(key, (m, nw))
+            p["lut"] = jnp.asarray(vq_lut(bits, vec), dtype)
+        return p
     if impl == "pallas":
         from qpalette_tpu.kernels import formats as kf
 
@@ -176,6 +240,9 @@ def merge_artifacts(arts: list) -> dict:
         "SU": arts[0]["SU"],
         "Wscale": np.concatenate([a["Wscale"] for a in arts]),
     }
+    if all(a.get("__device_dummy__") is not None for a in arts):
+        out["__device_dummy__"] = arts[0]["__device_dummy__"]
+        return out
     if kind == "tcq":
         assert all(a["meta"]["KV"] == m0["KV"] for a in arts)
         out["trellis"] = np.concatenate([a["trellis"] for a in arts], axis=0)
@@ -207,38 +274,30 @@ def merge_artifacts(arts: list) -> dict:
 # ---------------------------------------------------------------------------
 
 def dummy_artifact(qstr: str, shape, seed: int = 0) -> dict:
+    """Shape-only artifact for --dummy latency mode; packed bits are
+    generated on-device in _params_from_artifact (see __device_dummy__)."""
     m, n = shape
     spec = parse_quantizer_str(qstr)
     rng = np.random.default_rng(seed)
     art = {"SU": (rng.standard_normal(n) > 0).astype(np.float32) * 2 - 1,
-           "Wscale": np.full((m,), 0.02, np.float32)}
+           "Wscale": np.full((m,), 0.02, np.float32),
+           "__device_dummy__": seed}
     if spec.family == "tcq":
         KV = spec.KV[0]
-        T = (m // 16) * (n // 16)
         art["meta"] = {"kind": "tcq", "quantizer_str": qstr, "KV": KV,
                        "tlut_bits": tlut_bits_for_kv(KV),
                        "in_features": n, "out_features": m}
-        art["trellis"] = rng.integers(0, 1 << 32, (T, 4 * KV),
-                                      dtype=np.uint32)
     elif spec.family == "tcomb":
         KV1, KV2 = spec.KV
-        T = (m // 16) * (n // 32)
         art["meta"] = {"kind": "tcomb", "quantizer_str": qstr,
                        "KV1": KV1, "KV2": KV2,
                        "tlut_bits": tlut_bits_for_kv(max(KV1, KV2)),
                        "in_part": (n // 2, n // 2),
                        "in_features": n, "out_features": m}
-        art["trellis1"] = rng.integers(0, 1 << 32, (T, 4 * KV1),
-                                       dtype=np.uint32)
-        art["trellis2"] = rng.integers(0, 1 << 32, (T, 4 * KV2),
-                                       dtype=np.uint32)
     elif spec.family in ("ldlq", "sq", "vq2"):
         bits, vec = spec.bits, spec.vec
-        nw = -(-(n // vec * bits) // 32) + 1
         art["meta"] = {"kind": "vq", "quantizer_str": qstr, "bits": bits,
                        "vec": vec, "in_features": n, "out_features": m}
-        art["qweight"] = rng.integers(0, 1 << 32, (m, nw), dtype=np.uint32)
-        art["lut"] = np.asarray(vq_lut(bits, vec))
     else:
         raise ValueError(spec.family)
     return art
