@@ -46,9 +46,10 @@ def test_vq_fused_matches_reference(bits, vec, m, k, N):
 
 
 @pytest.mark.parametrize("KV,m,k,N", [
-    (4, 128, 128, 1),
-    (3, 128, 128, 2),
-    (7, 64, 128, 1),
+    (4, 128, 64, 1),
+    (3, 128, 64, 2),
+    pytest.param(7, 64, 128, 1, marks=pytest.mark.skipif(
+        not os.environ.get("QPT_SLOW"), reason="slow interpret test")),
     pytest.param(10, 64, 128, 1, marks=pytest.mark.skipif(
         not os.environ.get("QPT_SLOW"), reason="slow interpret test")),
 ])
@@ -77,7 +78,7 @@ def test_tcq_fused_matches_reference(KV, m, k, N):
 def test_tcomb_fused_via_quantizer():
     """End-to-end: quantize -> kernel-format -> fused matmul == hatW @ x."""
     rng = np.random.default_rng(0)
-    m, k = 128, 512
+    m, k = 64, 128
     Wr = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
     linear, hatW = quantizers.quantize_mat_combt(Wr, None, KV1=4, KV2=5)
     x = jnp.asarray(rng.standard_normal((2, k)).astype(np.float32))
