@@ -83,3 +83,19 @@ def trellis_sign_tables(tlut: np.ndarray, tlut_bits: int) -> np.ndarray:
     """tlut (2^S, 2) -> (2, nch, 8, 128) gather tables for the quantlut_sym
     decode (sign applied separately in-kernel)."""
     return lut_tables(tlut, tlut_bits)
+
+
+def tcomb_kernel_weights(tr1: np.ndarray, tr2: np.ndarray, m: int,
+                         n1: int, n2: int, KV1: int, KV2: int) -> np.ndarray:
+    """Both tcomb halves in one kernel array (k/16, 4*KV2, m/16).
+
+    The KV1 half's tiles are zero-padded from 4*KV1 to 4*KV2 words — a
+    runtime-only layout trade (~(KV2-KV1)/(KV1+KV2) extra HBM bytes) that
+    halves the kernel-call count; the canonical storage format (and the
+    MSQ memory accounting) keeps the true fractional-bit size."""
+    a = tcq_kernel_weights(tr1, m, n1)  # (n1/16, 4KV1, m/16)
+    b = tcq_kernel_weights(tr2, m, n2)  # (n2/16, 4KV2, m/16)
+    assert KV2 >= KV1
+    pad = np.zeros((a.shape[0], 4 * (KV2 - KV1), a.shape[2]), a.dtype)
+    a = np.concatenate([a, pad], axis=1)
+    return np.ascontiguousarray(np.concatenate([a, b], axis=0))

@@ -48,6 +48,17 @@ ACC = jnp.float32
 DDT = jnp.bfloat16  # decoded-weight dtype for the MXU
 
 
+def _cparams():
+    """Grid semantics: m-blocks are independent ('parallel'); k-blocks
+    accumulate into the same output ('arbitrary') — lets Mosaic pipeline
+    the packed-weight DMAs across grid steps."""
+    try:
+        return pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"))
+    except Exception:
+        return None
+
+
 def _pick_width(total: int, candidates=(512, 256, 128)) -> int:
     for c in candidates:
         if total % c == 0:
@@ -183,6 +194,7 @@ def vq_decode_matmul(x, qw_t, lut, bits: int, vec: int, m: int, k: int):
         out_specs=pl.BlockSpec((N, bm), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((kj * kb * vec, bm), DDT)],
+        compiler_params=_cparams(),
         interpret=INTERPRET,
     )(xp, qw_t, tabs)
     return out
@@ -192,13 +204,14 @@ def vq_decode_matmul(x, qw_t, lut, bits: int, vec: int, m: int, k: int):
 # TCQ fused kernel
 # ---------------------------------------------------------------------------
 
-def _tcq_kernel(x_ref, tr_ref, tab_ref, o_ref, d_ref, *, KV, S, tk, wm):
-    j = pl.program_id(1)
+def _tcq_decode_tiles(tr_ref, tab_ref, d_ref, KV, S, tk, wm, words_kv=None):
+    """Decode tk trellis tile-columns into d_ref (16, tk*16, wm)."""
     W = 4 * KV
     maskS = jnp.uint32((1 << S) - 1)
     sv = jax.lax.broadcasted_iota(jnp.int32, (8, wm), 0)
     for kt in range(tk):
-        tile_words = tr_ref[kt]  # (4KV, wm)
+        tile_words = tr_ref[kt] if words_kv is None else \
+            tr_ref[kt, :W, :]  # (4KV, wm)
         for v in range(16):
             base_bits = 8 * v * KV
             wbase = base_bits // 32
@@ -228,6 +241,11 @@ def _tcq_kernel(x_ref, tr_ref, tab_ref, o_ref, d_ref, *, KV, S, tk, wm):
             r = kt * 16
             d_ref[v, r:r + 8, :] = v0.astype(DDT)
             d_ref[v, r + 8:r + 16, :] = v1.astype(DDT)
+
+
+def _tcq_kernel(x_ref, tr_ref, tab_ref, o_ref, d_ref, *, KV, S, tk, wm):
+    j = pl.program_id(1)
+    _tcq_decode_tiles(tr_ref, tab_ref, d_ref, KV, S, tk, wm)
     xb = x_ref[:]  # (N, tk*16)
     accs = []
     for v in range(16):
@@ -279,9 +297,80 @@ def tcq_decode_matmul(x, tr_kt, tlut, KV: int, S: int, m: int, k: int):
         out_specs=pl.BlockSpec((16, N, wm), lambda i, j: (0, 0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((16, tk * 16, wm), DDT)],
+        compiler_params=_cparams(),
         interpret=INTERPRET,
     )(xp, tr_kt, tabs)
     # (v, N, tile-row) -> (N, m): weight row = tile_row * 16 + v
+    return out.transpose(1, 2, 0).reshape(N, m)
+
+
+def _tcomb_kernel(x_ref, tr_ref, tab_ref, o_ref, d_ref, *, KV1, KV2, S,
+                  tk, wm, gk1):
+    """Both tcomb halves in one kernel: k-blocks j < gk1 decode at KV1
+    (tiles zero-padded to the KV2 word width), the rest at KV2."""
+    j = pl.program_id(1)
+
+    @pl.when(j < gk1)
+    def _():
+        _tcq_decode_tiles(tr_ref, tab_ref, d_ref, KV1, S, tk, wm,
+                          words_kv=KV1)
+
+    @pl.when(j >= gk1)
+    def _():
+        _tcq_decode_tiles(tr_ref, tab_ref, d_ref, KV2, S, tk, wm,
+                          words_kv=KV2)
+
+    xb = x_ref[:]
+    accs = []
+    for v in range(16):
+        accs.append(jax.lax.dot_general(
+            xb, d_ref[v], (((1,), (0,)), ((), ())),
+            preferred_element_type=ACC))
+    acc = jnp.stack(accs, axis=0)
+
+    @pl.when(j == 0)
+    def _():
+        o_ref[:] = acc
+
+    @pl.when(j != 0)
+    def _():
+        o_ref[:] = o_ref[:] + acc
+
+
+@functools.partial(jax.jit, static_argnames=("KV1", "KV2", "S", "m", "k"))
+def tcomb_decode_matmul(x, trc, tlut, KV1: int, KV2: int, S: int, m: int,
+                        k: int):
+    """x (N, k); trc (k/16, 4*KV2, m/16) padded-concat halves (n/2 each)."""
+    N = x.shape[0]
+    kt_total = k // 16
+    half = kt_total // 2
+    tk = next(c for c in (16, 8, 4, 2, 1) if half % c == 0)
+    wm = _pick_width(m // 16, candidates=(256, 128, 64))
+    gk = kt_total // tk
+    gk1 = half // tk
+    gm = (m // 16) // wm
+    xp = x.reshape(N, k // 16, 8, 2).transpose(0, 1, 3, 2).reshape(N, k)
+    xp = xp.astype(DDT)
+    tabs = _tile_tables(tlut, S, wm)
+    out = pl.pallas_call(
+        functools.partial(_tcomb_kernel, KV1=KV1, KV2=KV2, S=S, tk=tk,
+                          wm=wm, gk1=gk1),
+        out_shape=jax.ShapeDtypeStruct((16, N, m // 16), ACC),
+        grid=(gm, gk),
+        in_specs=[
+            pl.BlockSpec((N, tk * 16), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, 4 * KV2, wm), lambda i, j: (j, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tabs.shape, lambda i, j: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((16, N, wm), lambda i, j: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((16, tk * 16, wm), DDT)],
+        compiler_params=_cparams(),
+        interpret=INTERPRET,
+    )(xp, trc, tabs)
     return out.transpose(1, 2, 0).reshape(N, m)
 
 
@@ -301,6 +390,10 @@ def decode_matmul(spec, p, z, luts):
         return tcq_decode_matmul(zb, p["trellis_kt"], p["clut"],
                                  spec.KV[0], spec.tlut_bits, m, n)
     if spec.kind == "tcomb":
+        if "trellisc_kt" in p:  # fused one-kernel path
+            return tcomb_decode_matmul(zb, p["trellisc_kt"], p["clut"],
+                                       spec.KV[0], spec.KV[1],
+                                       spec.tlut_bits, m, n)
         n1, n2 = spec.split
         y1 = tcq_decode_matmul(zb[:, :n1], p["trellis1_kt"], p["clut"],
                                spec.KV[0], spec.tlut_bits, m, n1)

@@ -121,12 +121,9 @@ def _params_from_artifact(art: dict, dtype, impl: str = "xla") -> dict:
                 p["clut"] = jnp.asarray(trellis_tlut(meta["tlut_bits"]),
                                         jnp.float32)
             elif kind == "tcomb":
-                n1, n2 = meta["in_part"]
-                k1, k2 = jax.random.split(key)
-                p["trellis1_kt"] = _rand_u32(
-                    k1, (n1 // 16, 4 * meta["KV1"], m // 16))
-                p["trellis2_kt"] = _rand_u32(
-                    k2, (n2 // 16, 4 * meta["KV2"], m // 16))
+                # fused one-kernel layout (padded concat of both halves)
+                p["trellisc_kt"] = _rand_u32(
+                    key, (n // 16, 4 * meta["KV2"], m // 16))
                 p["clut"] = jnp.asarray(trellis_tlut(meta["tlut_bits"]),
                                         jnp.float32)
             elif kind == "comb":
@@ -183,10 +180,9 @@ def _params_from_artifact(art: dict, dtype, impl: str = "xla") -> dict:
             p["clut"] = tlut_arr()
         elif kind == "tcomb":
             n1, n2 = meta["in_part"]
-            p["trellis1_kt"] = jnp.asarray(
-                kf.tcq_kernel_weights(art["trellis1"], m, n1))
-            p["trellis2_kt"] = jnp.asarray(
-                kf.tcq_kernel_weights(art["trellis2"], m, n2))
+            p["trellisc_kt"] = jnp.asarray(kf.tcomb_kernel_weights(
+                art["trellis1"], art["trellis2"], m, n1, n2,
+                meta["KV1"], meta["KV2"]))
             p["clut"] = tlut_arr()
         elif kind == "comb":
             m1, m2 = meta["out_part"]

@@ -95,3 +95,27 @@ def test_tcomb_fused_via_quantizer():
         + fused.tcq_decode_matmul(xb[:, n1:], t2, tl, 5, S, m, n2))
     rel = np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-9)
     assert rel < 0.03, rel
+
+
+def test_tcomb_one_kernel_matches_two_call():
+    """Fused single-kernel tcomb == two-half reference decode."""
+    KV1, KV2, S = 4, 5, 9
+    m, n = 64, 128
+    n1 = n2 = n // 2
+    rng = np.random.default_rng(1)
+    t1 = rng.integers(0, 1 << 32, ((m // 16) * (n1 // 16), 4 * KV1),
+                      dtype=np.uint32)
+    t2 = rng.integers(0, 1 << 32, ((m // 16) * (n2 // 16), 4 * KV2),
+                      dtype=np.uint32)
+    lut = trellis_lut(S)
+    W1 = packing.dequant_tcq(jnp.asarray(t1), jnp.asarray(lut), m, n1, KV1)
+    W2 = packing.dequant_tcq(jnp.asarray(t2), jnp.asarray(lut), m, n2, KV2)
+    W = jnp.concatenate([W1, W2], axis=1)
+    x = jnp.asarray(rng.standard_normal((2, n)).astype(np.float32))
+    y_ref = np.asarray(x.astype(jnp.bfloat16).astype(jnp.float32) @ W.T)
+    trc = jnp.asarray(kf.tcomb_kernel_weights(t1, t2, m, n1, n2, KV1, KV2))
+    y = np.asarray(fused.tcomb_decode_matmul(
+        x.astype(jnp.bfloat16), trc, jnp.asarray(trellis_tlut(S)),
+        KV1, KV2, S, m, n))
+    rel = np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-9)
+    assert rel < 0.03, rel
