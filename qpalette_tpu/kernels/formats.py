@@ -34,12 +34,32 @@ LANES = 128
 
 def vq_kernel_weights(packed: np.ndarray, bits: int, vec: int, m: int,
                       k: int) -> np.ndarray:
-    """rowpack (m, W+1) uint32 -> (P*bits/32, m) uint32 transposed."""
+    """rowpack (m, W+1) uint32 -> (8, W/8, m) uint32, sublane-grouped.
+
+    Decode maps 8 strided positions to the 8 sublanes of each vreg; the
+    words each sublane group needs are stored contiguously along dim 1 so
+    the kernel indexes [s-block, word, lanes] directly with NO in-kernel
+    sublane reshuffle (a (wpb, m)->(8, g, m) reshape in VMEM is a full
+    relayout and dominated decode time)."""
     P = k // vec
     assert (P * bits) % 32 == 0 and P % 128 == 0, (P, bits)
     W = P * bits // 32
-    assert packed.shape[1] >= W
-    return np.ascontiguousarray(np.asarray(packed)[:, :W].T)
+    arr = np.asarray(packed)[:, :W].T  # (W, m)
+    kb = _pick_kb_np(P, bits)
+    wpb = kb * bits // 32
+    g = wpb // 8
+    nch = W // wpb
+    # word w of chunk c belongs to sublane-group s = w // g, slot w % g
+    arr = arr.reshape(nch, 8, g, m)
+    out = arr.transpose(1, 0, 2, 3).reshape(8, nch * g, m)
+    return np.ascontiguousarray(out)
+
+
+def _pick_kb_np(P: int, bits: int) -> int:
+    for kb in (512, 256, 128):
+        if P % kb == 0 and (kb // 8) * bits % 32 == 0:
+            return kb
+    raise ValueError((P, bits))
 
 
 def vq_x_perm(x: jax.Array, vec: int, kb: int) -> jax.Array:

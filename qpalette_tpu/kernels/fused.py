@@ -127,10 +127,9 @@ def _vq_kernel(x_ref, qw_ref, tab_ref, o_ref, d_ref, *, bits, vec, kb, kj,
                bm):
     j = pl.program_id(1)
     g = kb * bits // 256  # words per sublane-group per k-chunk
-    wpb = kb * bits // 32
     mask = jnp.uint32((1 << bits) - 1)
     for c_kj in range(kj):
-        wr = qw_ref[c_kj * wpb:(c_kj + 1) * wpb, :].reshape(8, g, bm)
+        wr = qw_ref[:, c_kj * g:(c_kj + 1) * g, :]  # (8, g, bm), no relayout
         for v in range(kb // 8):
             bit = v * bits
             c, sh = bit // 32, bit % 32
@@ -177,6 +176,7 @@ def vq_decode_matmul(x, qw_t, lut, bits: int, vec: int, m: int, k: int):
     wpb = kb * bits // 32  # words per k-chunk
 
     tabs = _tile_tables(lut, bits, bm)
+    g = wpb // 8
     xp = vq_x_perm(x, vec, kb).astype(DDT)
     out = pl.pallas_call(
         functools.partial(_vq_kernel, bits=bits, vec=vec, kb=kb, kj=kj,
@@ -186,7 +186,7 @@ def vq_decode_matmul(x, qw_t, lut, bits: int, vec: int, m: int, k: int):
         in_specs=[
             pl.BlockSpec((N, kj * kb * vec), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kj * wpb, bm), lambda i, j: (j, i),
+            pl.BlockSpec((8, kj * g, bm), lambda i, j: (0, j, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(tabs.shape, lambda i, j: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),

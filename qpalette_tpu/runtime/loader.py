@@ -137,7 +137,8 @@ def _params_from_artifact(art: dict, dtype, impl: str = "xla") -> dict:
                                         jnp.float32)
             elif kind == "vq":
                 bits, vec = meta["bits"], meta["vec"]
-                p["qweight_t"] = _rand_u32(key, ((n // vec) * bits // 32, m))
+                W = (n // vec) * bits // 32
+                p["qweight_t"] = _rand_u32(key, (8, W // 8, m))
                 p["clut"] = jnp.asarray(vq_lut(bits, vec), jnp.float32)
             else:
                 raise ValueError(kind)
