@@ -375,6 +375,106 @@ def tcomb_decode_matmul(x, trc, tlut, KV1: int, KV2: int, S: int, m: int,
 
 
 # ---------------------------------------------------------------------------
+# TCQ1: V=1 trellis with arithmetic (gather-free) decode — the TPU fast path
+# ---------------------------------------------------------------------------
+
+_MAD1_A, _MAD1_B = 34038481, 76625530
+_MAD2_A, _MAD2_B, _MAD2_C = 264435761, 1013904223, 1664525
+_MAD_INV = 1.0 / 147.800537109375
+
+
+def _mad_value(u, mode):
+    """state (uint32 vec) -> decoded weight (f32 vec); pure VPU ALU.
+
+    Mirrors reference decode_1mad/2mad (bitshift.py:16-39): LCG scramble +
+    byte-sum gives an approximately Gaussian value; no table lookup."""
+    assert mode == "1mad", "2mad needs 32x32->hi32 multiply (round 2)"
+    h = u * jnp.uint32(_MAD1_A) + jnp.uint32(_MAD1_B)
+    b255 = jnp.uint32(255)
+    ssum = ((h & b255) + ((h >> jnp.uint32(8)) & b255)
+            + ((h >> jnp.uint32(16)) & b255)
+            + ((h >> jnp.uint32(24)) & b255))
+    y = ssum.astype(jnp.int32).astype(jnp.float32) - 510.0
+    return y * _MAD_INV
+
+
+def _tcq1_kernel(x_ref, tr_ref, o_ref, d_ref, *, KV, tk, wm, mode):
+    j = pl.program_id(1)
+    W = 8 * KV
+    sv = jax.lax.broadcasted_iota(jnp.int32, (8, wm), 0)
+    for kt in range(tk):
+        tile_words = tr_ref[kt]  # (8KV, wm)
+        for v in range(32):
+            base_bits = 8 * v * KV
+            wbase = base_bits // 32
+            if wbase + 8 <= W:
+                win = tile_words[wbase:wbase + 8, :]
+            else:  # circular wrap
+                win = jnp.concatenate([tile_words[wbase:, :],
+                                       tile_words[:wbase + 8 - W, :]],
+                                      axis=0)
+            bitoff = (sv + 8 * v) * KV
+            relv = (bitoff >> 5) - wbase
+            shv = (bitoff & 31).astype(jnp.uint32)
+            lo = jnp.take_along_axis(win, relv, axis=0)
+            hi = jnp.take_along_axis(win, relv + 1, axis=0)
+            state = (lo >> shv) | ((hi << (jnp.uint32(31) - shv))
+                                   << jnp.uint32(1))
+            u = state & jnp.uint32(0xFFFF)
+            val = _mad_value(u, mode)
+            # position p = 8v+s -> tile row v//2, col 8*(v%2)+s
+            r = v // 2
+            c0 = kt * 16 + 8 * (v % 2)
+            d_ref[r, c0:c0 + 8, :] = val.astype(DDT)
+    xb = x_ref[:]
+    accs = []
+    for vv in range(16):
+        accs.append(jax.lax.dot_general(
+            xb, d_ref[vv], (((1,), (0,)), ((), ())),
+            preferred_element_type=ACC))
+    acc = jnp.stack(accs, axis=0)
+
+    @pl.when(j == 0)
+    def _():
+        o_ref[:] = acc
+
+    @pl.when(j != 0)
+    def _():
+        o_ref[:] = o_ref[:] + acc
+
+
+@functools.partial(jax.jit, static_argnames=("KV", "mode", "m", "k"))
+def tcq1_decode_matmul(x, tr_kt, KV: int, mode: str, m: int, k: int):
+    """x (N, k); tr_kt (k/16, 8KV, m/16) uint32 (V=1 trellis).
+
+    Returns (N, m) f32 = x @ dequant(trellis)^T; decode is pure ALU."""
+    N = x.shape[0]
+    kt_total = k // 16
+    tk = next(c for c in (16, 8, 4, 2, 1) if kt_total % c == 0)
+    wm = _pick_width(m // 16, candidates=(256, 128, 64))
+    gk = kt_total // tk
+    gm = (m // 16) // wm
+    xp = x.astype(DDT)  # natural column order: no activation permutation
+    out = pl.pallas_call(
+        functools.partial(_tcq1_kernel, KV=KV, tk=tk, wm=wm, mode=mode),
+        out_shape=jax.ShapeDtypeStruct((16, N, m // 16), ACC),
+        grid=(gm, gk),
+        in_specs=[
+            pl.BlockSpec((N, tk * 16), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, 8 * KV, wm), lambda i, j: (j, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((16, N, wm), lambda i, j: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((16, tk * 16, wm), DDT)],
+        compiler_params=_cparams(),
+        interpret=INTERPRET,
+    )(xp, tr_kt)
+    return out.transpose(1, 2, 0).reshape(N, m)
+
+
+# ---------------------------------------------------------------------------
 # dispatch used by runtime/qlinear.py (impl='pallas')
 # ---------------------------------------------------------------------------
 
@@ -389,6 +489,9 @@ def decode_matmul(spec, p, z, luts):
     if spec.kind == "tcq":
         return tcq_decode_matmul(zb, p["trellis_kt"], p["clut"],
                                  spec.KV[0], spec.tlut_bits, m, n)
+    if spec.kind == "tcq1":
+        return tcq1_decode_matmul(zb, p["trellis_kt"], spec.KV[0],
+                                  spec.mode, m, n)
     if spec.kind == "tcomb":
         if "trellisc_kt" in p:  # fused one-kernel path
             return tcomb_decode_matmul(zb, p["trellisc_kt"], p["clut"],

@@ -43,6 +43,8 @@ def fit_family_model(samples: List[Tuple[str, float, float]]):
 
 
 def family_of(qstr: str) -> str:
+    if qstr.startswith("tcq1"):
+        return "tcq1"  # arithmetic decode: different (faster) fit
     if qstr.startswith(("tcq", "tcomb", "comb")):
         return "tcq"
     return "vq"
@@ -54,8 +56,9 @@ def packed_bytes(cfg: LlamaConfig, group: str, qstr: str) -> float:
 
 
 def kernel_calls(group: str, qstr: str) -> int:
-    """tcomb/comb run two fused kernels (one per half)."""
-    return 2 if qstr.startswith(("tcomb", "comb")) else 1
+    """comb runs two fused kernels (row halves); tcomb is single-kernel
+    (fused padded-concat path)."""
+    return 2 if qstr.startswith("comb") else 1
 
 
 def build_lat_table(cfg: LlamaConfig, qlist: List[str],

@@ -33,6 +33,8 @@ def layer_mem_bytes(cfg: LlamaConfig, key: str, quantizer_str: str) -> float:
     if s.family in ("ldlq", "sq", "vq2"):
         return (m * n * s.bits / s.vec / 8
                 + (1 << s.bits) * s.vec * 2)
+    if s.family in ("tcq1", "tcq1x2"):
+        return m * n * s.KV[0] / 8  # arithmetic decode: no LUT bytes
     if s.family == "tcq":
         tb = tlut_bits_for_kv(s.KV[0])
         return m * n * s.KV[0] / 2 / 8 + (1 << tb) * 2 * 2

@@ -42,6 +42,10 @@ QDICT_LAT = dict(QDICT_MEM, **{
     f"ldlq_1_{b}_none_1.0": float(b) for b in range(2, 9)
 }, **{
     f"ldlq_2_{b}_none_1.0": b / 2 for b in range(3, 13)
+}, **{
+    # TPU-native gather-free trellis (arithmetic decode) — the schemes the
+    # latency-aware solver can pick for speed on TPU
+    f"tcq1_{b}_none_0.9": float(b) for b in range(2, 6)
 })
 
 SIMPLE2KEY = {

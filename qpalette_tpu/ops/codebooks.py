@@ -98,3 +98,50 @@ def lut_rms(lut: np.ndarray) -> float:
     """RMS of codebook values (used for Wscale normalization,
     reference tcq_quant.py:127)."""
     return float(np.sqrt(np.mean(np.asarray(lut, dtype=np.float64) ** 2)))
+
+
+# ---------------------------------------------------------------------------
+# arithmetic (gather-free) trellis decoders — reference bitshift.py:16-59
+# ---------------------------------------------------------------------------
+
+MAD1_A, MAD1_B = 34038481, 76625530
+MAD2_A, MAD2_B, MAD2_C = 264435761, 1013904223, 1664525
+MAD_SCALE = 147.800537109375
+
+
+def decode_1mad(x: np.ndarray) -> np.ndarray:
+    """Pure-ALU Gaussian-ish decoder: one multiply-add + byte-sum.
+
+    Mirrors reference decode_1mad (bitshift.py:16-25); V=1 (one weight per
+    trellis state).  On TPU this runs on the VPU with ~13 single-cycle ops
+    per weight — the fast path that avoids tpu.dynamic_gather entirely."""
+    x = np.asarray(x).astype(np.uint64) & 0xFFFFFFFF
+    x = (x * MAD1_A + MAD1_B) & 0xFFFFFFFF
+    y = ((x & 255) + ((x >> 8) & 255) + ((x >> 16) & 255)
+         + ((x >> 24) & 255)).astype(np.float64) - 510.0
+    return (y / MAD_SCALE).astype(np.float32)
+
+
+def decode_2mad(x: np.ndarray) -> np.ndarray:
+    """Two-stage LCG decoder (reference bitshift.py:28-39)."""
+    x = np.asarray(x).astype(np.uint64) & 0xFFFFFFFF
+    x = (x * MAD2_A + MAD2_B) & 0xFFFFFFFF
+    x = (((x * MAD2_C) >> 32) + x) & 0xFFFFFFFF
+    y = ((x & 255) + ((x >> 8) & 255) + ((x >> 16) & 255)
+         + ((x >> 24) & 255)).astype(np.float64) - 510.0
+    return (y / MAD_SCALE).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def trellis_lut_arith(mode: str) -> np.ndarray:
+    """(2^16, 1) state->value table for the arithmetic decode modes
+    (used by the host-side Viterbi/spec decoders; the TPU kernel computes
+    the same function inline)."""
+    s = np.arange(1 << L, dtype=np.uint64)
+    if mode == "1mad":
+        v = decode_1mad(s)
+    elif mode == "2mad":
+        v = decode_2mad(s)
+    else:
+        raise ValueError(mode)
+    return v[:, None].astype(np.float32)

@@ -117,15 +117,16 @@ def unpack_rows(packed: jax.Array, bits: int, n_idx: int) -> jax.Array:
 # trellis packing
 # ---------------------------------------------------------------------------
 
-def pack_trellis(states: jax.Array, KV: int) -> jax.Array:
-    """states[T, 128] (int, < 2^16) -> packed[T, 4*KV] uint32.
+def pack_trellis(states: jax.Array, KV: int, v: int = V) -> jax.Array:
+    """states[T, 256//v] (int, < 2^16) -> packed[T, 8*KV//v] uint32.
 
     Requires the tail-biting property s_{i+1} == (s_i >> KV) | (new << L-KV)
-    and s_0 == (s_127 >> KV) | (new << L-KV); only the *new* top KV bits of
-    each state after the first are stored.
+    wrapping at the end; only the *new* top KV bits of each state after the
+    first are stored.  v = weights per state (2 for quantlut_sym, 1 for the
+    arithmetic decode modes).
     """
     T, S = states.shape
-    assert S == 256 // V
+    assert S == 256 // v
     s = states.astype(jnp.uint32)
     shifts16 = jnp.arange(L, dtype=jnp.uint32)
     first = (s[:, :1] >> shifts16[None, :]) & 1  # (T, 16)
@@ -138,9 +139,9 @@ def pack_trellis(states: jax.Array, KV: int) -> jax.Array:
     return _bits_to_words(bitmat)
 
 
-def unpack_trellis(packed: jax.Array, KV: int) -> jax.Array:
-    """packed[T, 4*KV] uint32 -> states[T, 128] int32 (circular windows)."""
-    return _extract_windows(packed, 256 // V, KV, L, modular=True)
+def unpack_trellis(packed: jax.Array, KV: int, v: int = V) -> jax.Array:
+    """packed[T, 8*KV//v] uint32 -> states[T, 256//v] int32 (circular)."""
+    return _extract_windows(packed, 256 // v, KV, L, modular=True)
 
 
 # ---------------------------------------------------------------------------
@@ -174,9 +175,9 @@ def dequant_lut(packed: jax.Array, lut: jax.Array, m: int, k: int,
 
 
 def dequant_tcq(packed: jax.Array, lut: jax.Array, m: int, k: int,
-                KV: int) -> jax.Array:
-    """TCQ dequant: trellispack -> weights[m, k] (lut[2^L, V] expanded)."""
-    states = unpack_trellis(packed, KV)  # (T, 128)
-    vals = jnp.take(lut, states, axis=0)  # (T, 128, V)
+                KV: int, v: int = V) -> jax.Array:
+    """TCQ dequant: trellispack -> weights[m, k] (lut[2^L, v] expanded)."""
+    states = unpack_trellis(packed, KV, v)  # (T, 256//v)
+    vals = jnp.take(lut, states, axis=0)  # (T, 256//v, v)
     tiles = vals.reshape(-1, TD, TD)
     return tiles_to_mat(tiles, m, k)

@@ -54,6 +54,8 @@ class QuantizerSpec:
     @property
     def avg_bits(self) -> float:
         """Bits per weight, excluding LUT overhead (cf. solver QDICT)."""
+        if self.family in ("tcq1", "tcq1x2"):
+            return float(self.KV[0])
         if self.family == "tcq":
             return self.KV[0] / 2
         if self.family in ("tcomb", "comb"):
@@ -67,6 +69,11 @@ def parse_quantizer_str(qstr: str) -> QuantizerSpec:
     if fam == "tcq":
         _, kv, hess, scale = parts
         return QuantizerSpec(qstr, "tcq", hess == "hess", float(scale),
+                             KV=(int(kv),))
+    if fam in ("tcq1", "tcq1x2"):
+        # V=1 arithmetic-decode trellis: tcq1 = 1mad, tcq1x2 = 2mad
+        _, kv, hess, scale = parts
+        return QuantizerSpec(qstr, fam, hess == "hess", float(scale),
                              KV=(int(kv),))
     if fam in ("tcomb", "comb"):
         _, kv1, kv2, ratio, hess, scale = parts
@@ -119,6 +126,10 @@ def quantize_linear(W, quantizer_str: str, SU=None, H=None,
     Wr = _rotate_weight(W, SU)
     if spec.family in ("tcq", "tcomb", "comb"):
         cb_rms = lut_rms(trellis_lut(tlut_bits_for_kv(max(spec.KV))))
+    elif spec.family in ("tcq1", "tcq1x2"):
+        from qpalette_tpu.ops.codebooks import trellis_lut_arith
+        cb_rms = lut_rms(trellis_lut_arith(
+            "1mad" if spec.family == "tcq1" else "2mad"))
     else:
         cb_rms = 1.0
     row_rms = jnp.sqrt(jnp.mean(Wr.astype(jnp.float64) ** 2, axis=1))
@@ -132,6 +143,11 @@ def quantize_linear(W, quantizer_str: str, SU=None, H=None,
     if spec.family == "tcq":
         linear, hatWr = quantizers.quantize_mat_tcq(
             Wr, HRr, spec.KV[0], spec.use_hess and HRr is not None)
+    elif spec.family in ("tcq1", "tcq1x2"):
+        linear, hatWr = quantizers.quantize_mat_tcq1(
+            Wr, HRr, spec.KV[0],
+            mode="1mad" if spec.family == "tcq1" else "2mad",
+            use_hess=spec.use_hess and HRr is not None)
     elif spec.family == "tcomb":
         assert spec.ratio == 0.5, "only ratio=0.5 supported (as in reference)"
         linear, hatWr = quantizers.quantize_mat_combt(

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from qpalette_tpu.ops import packing
-from qpalette_tpu.ops.codebooks import trellis_lut, vq_lut, tlut_bits_for_kv
+from qpalette_tpu.ops.codebooks import (trellis_lut, trellis_lut_arith,
+                                        vq_lut, tlut_bits_for_kv)
 from qpalette_tpu.quant.ldlq import block_ldl, ldlq, regularize_h
 from qpalette_tpu.quant.viterbi import tcq_quantize
 
@@ -48,23 +49,25 @@ def _seqs_to_block(hat: jax.Array, m: int) -> jax.Array:
     return hat.reshape(m // TD, TD, TD).reshape(m, TD)
 
 
-def _stack_tile_codes(states: jax.Array, m: int, n: int) -> jax.Array:
-    """ldlq-stacked states (n/16, m/16, 128) -> (T, 128) tile-row-major."""
-    return states.transpose(1, 0, 2).reshape((m // TD) * (n // TD), 256 // 2)
+def _stack_tile_codes(states: jax.Array, m: int, n: int,
+                      v: int = 2) -> jax.Array:
+    """ldlq-stacked states (n/16, m/16, 256/v) -> (T, 256/v) row-major."""
+    return states.transpose(1, 0, 2).reshape((m // TD) * (n // TD), 256 // v)
 
 
-@functools.partial(jax.jit, static_argnames=("KV", "use_hess"))
-def _tcq_core(Wr, H, lut, KV: int, use_hess: bool):
+@functools.partial(jax.jit, static_argnames=("KV", "use_hess", "v"))
+def _tcq_core(Wr, H, lut, KV: int, use_hess: bool, v: int = 2):
     m, n = Wr.shape
     L = _ldl_or_zero(H if use_hess else None, n, TD)
 
     def qblock(E, _idx):
         seqs = _block_to_seqs(E)
-        hat, states = tcq_quantize(seqs, lut, KV)
+        hat, states = tcq_quantize(seqs, lut, KV, v=v)
         return _seqs_to_block(hat, m), states
 
     hatW, states = ldlq(Wr, L, qblock, block=TD)
-    packed = packing.pack_trellis(_stack_tile_codes(states, m, n), KV)
+    packed = packing.pack_trellis(_stack_tile_codes(states, m, n, v), KV,
+                                  v=v)
     return hatW, packed
 
 
@@ -133,6 +136,22 @@ def quantize_mat_tcq(Wr, H, KV: int, use_hess: bool = False):
                              lut, KV, use_hess and H is not None)
     linear = {
         "kind": "tcq", "KV": KV, "tlut_bits": tlut_bits,
+        "trellis": np.asarray(packed),
+        "in_features": Wr.shape[1], "out_features": Wr.shape[0],
+    }
+    return linear, hatW
+
+
+def quantize_mat_tcq1(Wr, H, KV: int, mode: str = "1mad",
+                      use_hess: bool = False):
+    """V=1 trellis with an arithmetic (gather-free) decoder — reference
+    decode modes 1mad/2mad (bitshift.py:16-39, 110-117).  KV bits/weight;
+    the TPU decode kernel computes the LCG+byte-sum inline (no LUT)."""
+    lut = jnp.asarray(trellis_lut_arith(mode))
+    hatW, packed = _tcq_core(Wr, H if H is not None else Wr[:1, :1] * 0,
+                             lut, KV, use_hess and H is not None, v=1)
+    linear = {
+        "kind": "tcq1", "KV": KV, "decode_mode": mode,
         "trellis": np.asarray(packed),
         "in_features": Wr.shape[1], "out_features": Wr.shape[0],
     }

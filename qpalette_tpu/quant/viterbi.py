@@ -45,22 +45,24 @@ def _state_err(x_step: jax.Array, lutf: jax.Array, norms: jax.Array):
     return norms[None, :] - 2.0 * cross
 
 
-@functools.partial(jax.jit, static_argnames=("KV",))
+@functools.partial(jax.jit, static_argnames=("KV", "v"))
 def viterbi_encode(X: jax.Array, lut: jax.Array, KV: int,
                    init_c: Optional[jax.Array] = None,
-                   final_c: Optional[jax.Array] = None) -> jax.Array:
-    """Encode sequences X (B, S*V) into trellis states (B, S), S = X.shape[1]//V.
+                   final_c: Optional[jax.Array] = None,
+                   v: int = V) -> jax.Array:
+    """Encode sequences X (B, S*v) into trellis states (B, S).
 
     init_c / final_c (each (B,) int32 in [0, 2^(L-KV)) or None) constrain
     s_0 & mask == init_c and s_{S-1} >> KV == final_c (the tail-biting
     junction constraints; cf. reference bitshift.py:228-249 overlap masks).
+    v = weights per state (lut is (2^L, v)).
     """
     B, TV = X.shape
-    S = TV // V
+    S = TV // v
     NQ = 1 << (L - KV)  # carry-part cardinality
     NR = 1 << KV        # new-bits cardinality
     lutf, norms = _dp_tables(lut)
-    Xs = X.reshape(B, S, V).transpose(1, 0, 2)  # (S, B, V)
+    Xs = X.reshape(B, S, v).transpose(1, 0, 2)  # (S, B, v)
 
     big = jnp.float32(1e30)
     cost0 = _state_err(Xs[0], lutf, norms)  # (B, 2^L)
@@ -103,21 +105,21 @@ def viterbi_encode(X: jax.Array, lut: jax.Array, KV: int,
     return states.T  # (B, S)
 
 
-@functools.partial(jax.jit, static_argnames=("KV",))
-def tcq_quantize(X: jax.Array, lut: jax.Array, KV: int):
-    """Tail-biting quantization of X (B, 256) -> (hatX (B, 256), states (B, 128)).
+@functools.partial(jax.jit, static_argnames=("KV", "v"))
+def tcq_quantize(X: jax.Array, lut: jax.Array, KV: int, v: int = V):
+    """Tail-biting quantization of X (B, 256) -> (hatX, states (B, 256//v)).
 
     Two passes as in reference bitshift.py:285-294: pass A on the
     half-rotated sequence estimates the wrap state; pass B re-encodes with
     the junction constrained at both ends.
     """
     B, TV = X.shape
-    S = TV // V
+    S = TV // v
     NQ = 1 << (L - KV)
-    Xroll = jnp.roll(X, (S // 2) * V, axis=1)
-    stA = viterbi_encode(Xroll, lut, KV)  # (B, S)
+    Xroll = jnp.roll(X, (S // 2) * v, axis=1)
+    stA = viterbi_encode(Xroll, lut, KV, v=v)  # (B, S)
     # rolled position S//2 is original position 0
     c = (stA[:, S // 2] & (NQ - 1)).astype(jnp.int32)
-    states = viterbi_encode(X, lut, KV, init_c=c, final_c=c)
-    hat = jnp.take(lut.astype(jnp.float32), states, axis=0)  # (B, S, V)
+    states = viterbi_encode(X, lut, KV, init_c=c, final_c=c, v=v)
+    hat = jnp.take(lut.astype(jnp.float32), states, axis=0)  # (B, S, v)
     return hat.reshape(B, TV), states

@@ -85,6 +85,9 @@ def _spec_from_meta(meta: dict, impl: str) -> LinearSpec:
     if kind == "tcq":
         return LinearSpec("tcq", KV=(meta["KV"],),
                           tlut_bits=meta["tlut_bits"], **common)
+    if kind == "tcq1":
+        return LinearSpec("tcq1", KV=(meta["KV"],),
+                          mode=meta["decode_mode"], **common)
     if kind == "tcomb":
         return LinearSpec("tcomb", KV=(meta["KV1"], meta["KV2"]),
                           tlut_bits=meta["tlut_bits"],
@@ -120,6 +123,9 @@ def _params_from_artifact(art: dict, dtype, impl: str = "xla") -> dict:
                 p["trellis_kt"] = _rand_u32(key, (n // 16, 4 * KV, m // 16))
                 p["clut"] = jnp.asarray(trellis_tlut(meta["tlut_bits"]),
                                         jnp.float32)
+            elif kind == "tcq1":
+                KV = meta["KV"]
+                p["trellis_kt"] = _rand_u32(key, (n // 16, 8 * KV, m // 16))
             elif kind == "tcomb":
                 # fused one-kernel layout (padded concat of both halves)
                 p["trellisc_kt"] = _rand_u32(
@@ -147,6 +153,9 @@ def _params_from_artifact(art: dict, dtype, impl: str = "xla") -> dict:
         if kind == "tcq":
             T = (m // 16) * (n // 16)
             p["trellis"] = _rand_u32(key, (T, 4 * meta["KV"]))
+        elif kind == "tcq1":
+            T = (m // 16) * (n // 16)
+            p["trellis"] = _rand_u32(key, (T, 8 * meta["KV"]))
         elif kind == "tcomb":
             n1, n2 = meta["in_part"]
             k1, k2 = jax.random.split(key)
@@ -179,6 +188,9 @@ def _params_from_artifact(art: dict, dtype, impl: str = "xla") -> dict:
             p["trellis_kt"] = jnp.asarray(
                 kf.tcq_kernel_weights(art["trellis"], m, n))
             p["clut"] = tlut_arr()
+        elif kind == "tcq1":
+            p["trellis_kt"] = jnp.asarray(
+                kf.tcq_kernel_weights(art["trellis"], m, n))
         elif kind == "tcomb":
             n1, n2 = meta["in_part"]
             p["trellisc_kt"] = jnp.asarray(kf.tcomb_kernel_weights(
@@ -359,6 +371,7 @@ def build_quantized_model(cfg: LlamaConfig, qdict, merge_info=None,
     layers_params = []
     layer_specs = []
     tlut_bits_used = set()
+    mad_modes = set()
 
     for i in range(nl):
         mi = merge_info[i] if merge_info is not None else []
@@ -432,6 +445,8 @@ def build_quantized_model(cfg: LlamaConfig, qdict, merge_info=None,
         for a in arts.values():
             if a["meta"]["kind"] in ("tcq", "tcomb", "comb"):
                 tlut_bits_used.add(a["meta"]["tlut_bits"])
+            elif a["meta"]["kind"] == "tcq1":
+                mad_modes.add(a["meta"]["decode_mode"])
 
         if dense_params is not None:
             lp["ln_attn"] = jnp.asarray(dense_params["layers"][i]["ln_attn"],
@@ -450,9 +465,12 @@ def build_quantized_model(cfg: LlamaConfig, qdict, merge_info=None,
         LlamaConfig(**{**cfg.__dict__, "num_layers": nl})
     spec = ModelSpec(cfg_nl, tuple(layer_specs))
 
-    params = {"layers": layers_params,
-              "luts": {f"tcq{tb}": jnp.asarray(trellis_lut(tb), dtype)
-                       for tb in sorted(tlut_bits_used)}}
+    from qpalette_tpu.ops.codebooks import trellis_lut_arith
+    luts = {f"tcq{tb}": jnp.asarray(trellis_lut(tb), dtype)
+            for tb in sorted(tlut_bits_used)}
+    for md in sorted(mad_modes):
+        luts[f"mad_{md}"] = jnp.asarray(trellis_lut_arith(md), dtype)
+    params = {"layers": layers_params, "luts": luts}
     if dense_params is not None:
         params["embed"] = jnp.asarray(dense_params["embed"], dtype)
         params["lm_head"] = jnp.asarray(dense_params["lm_head"], dtype)

@@ -38,6 +38,7 @@ class LinearSpec:
     bits: int = 0
     vec: int = 0
     split: tuple = ()         # in_part (tcomb) or out_part (comb)
+    mode: str = ""            # tcq1 decode mode (1mad | 2mad)
     impl: str = "xla"         # xla | pallas
 
     def tcq_lut_key(self) -> str:
@@ -51,6 +52,10 @@ def dequant_weight(spec: LinearSpec, p: dict, luts: dict) -> jax.Array:
     if spec.kind == "tcq":
         lut = luts[spec.tcq_lut_key()]
         return packing.dequant_tcq(p["trellis"], lut, m, n, spec.KV[0])
+    if spec.kind == "tcq1":
+        lut = luts[f"mad_{spec.mode}"]
+        return packing.dequant_tcq(p["trellis"], lut, m, n, spec.KV[0],
+                                   v=1)
     if spec.kind == "tcomb":
         lut = luts[spec.tcq_lut_key()]
         n1, n2 = spec.split

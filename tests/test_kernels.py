@@ -119,3 +119,22 @@ def test_tcomb_one_kernel_matches_two_call():
         KV1, KV2, S, m, n))
     rel = np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-9)
     assert rel < 0.03, rel
+
+
+def test_tcq1_kernel_matches_reference():
+    """Gather-free 1mad kernel == executable-spec decode."""
+    from qpalette_tpu.ops.codebooks import trellis_lut_arith
+    KV, m, k = 3, 64, 128
+    rng = np.random.default_rng(2)
+    ntiles = (m // 16) * (k // 16)
+    words = rng.integers(0, 1 << 32, (ntiles, 8 * KV), dtype=np.uint32)
+    lut = trellis_lut_arith("1mad")
+    W = packing.dequant_tcq(jnp.asarray(words), jnp.asarray(lut), m, k, KV,
+                            v=1)
+    x = jnp.asarray(rng.standard_normal((2, k)).astype(np.float32))
+    y_ref = np.asarray(x.astype(jnp.bfloat16).astype(jnp.float32) @ W.T)
+    tr_kt = jnp.asarray(kf.tcq_kernel_weights(words, m, k))
+    y = np.asarray(fused.tcq1_decode_matmul(x.astype(jnp.bfloat16), tr_kt,
+                                            KV, "1mad", m, k))
+    rel = np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-9)
+    assert rel < 0.03, rel

@@ -239,3 +239,23 @@ def test_cd_refinement_reduces_weighted_error():
     # codes consistent with hat
     dec = np.asarray(lut)[np.asarray(idxs)].reshape(m, n)
     assert np.allclose(dec, np.asarray(hat1), atol=1e-6)
+
+
+def test_tcq1_arithmetic_mode_end_to_end():
+    """V=1 arithmetic-decode trellis (1mad): valid chain, exact pack
+    round-trip against the arithmetic table, sane distortion."""
+    from qpalette_tpu.ops.codebooks import trellis_lut_arith
+    rng = np.random.default_rng(9)
+    m, n = 32, 64
+    Wr = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
+    linear, hatW = quantizers.quantize_mat_tcq1(Wr, None, KV=3)
+    assert linear["kind"] == "tcq1" and linear["decode_mode"] == "1mad"
+    lut = jnp.asarray(trellis_lut_arith("1mad"))
+    dec = packing.dequant_tcq(jnp.asarray(linear["trellis"]), lut, m, n,
+                              3, v=1)
+    assert np.allclose(np.asarray(dec), np.asarray(hatW), atol=1e-5)
+    mse = float(jnp.mean((hatW - Wr) ** 2))
+    assert mse < 3.5 * 2 ** (-2 * 3), mse  # 3 bits/weight
+
+    art = quantize_linear(np.asarray(Wr) * 0.02, "tcq1_3_none_0.9", seed=0)
+    assert art["meta"]["err"] < 0.2, art["meta"]["err"]
