@@ -70,6 +70,8 @@ def build_lat_table(cfg: LlamaConfig, qlist: List[str],
     for g in groups:
         for q in qlist:
             fam = family_of(q)
+            if fam not in family_params:  # e.g. tcq1 not sampled yet
+                fam = "tcq" if fam.startswith("tcq") else "vq"
             a, b = family_params[fam]
             lat = kernel_calls(g, q) * a + packed_bytes(cfg, g, q) * b
             for fl in impl_flags:

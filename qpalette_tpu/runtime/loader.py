@@ -303,6 +303,12 @@ def dummy_artifact(qstr: str, shape, seed: int = 0) -> dict:
                        "tlut_bits": tlut_bits_for_kv(max(KV1, KV2)),
                        "in_part": (n // 2, n // 2),
                        "in_features": n, "out_features": m}
+    elif spec.family in ("tcq1", "tcq1x2"):
+        art["meta"] = {"kind": "tcq1", "quantizer_str": qstr,
+                       "KV": spec.KV[0],
+                       "decode_mode": "1mad" if spec.family == "tcq1"
+                       else "2mad",
+                       "in_features": n, "out_features": m}
     elif spec.family in ("ldlq", "sq", "vq2"):
         bits, vec = spec.bits, spec.vec
         art["meta"] = {"kind": "vq", "quantizer_str": qstr, "bits": bits,
