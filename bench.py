@@ -49,8 +49,21 @@ def main():
 
     def run(nl):
         mi = [["merge_qkv", "merge_ug"]] * nl if merge else None
+        if scheme == "tcq1mix":
+            # 3.27-bit avg mix of gather-free arithmetic-decode trellis
+            # quantizers (the TPU-fast palette members): up_proj @4 bits,
+            # rest @3 — what the latency-aware MSQ solver picks on TPU
+            from qpalette_tpu.runtime.loader import LAYER_KEYS
+            qd = {}
+            for i in range(nl):
+                for key in LAYER_KEYS:
+                    qd[f"{i}_{key}"] = ("tcq1_4_none_0.9"
+                                        if key == "mlp.up_proj"
+                                        else "tcq1_3_none_0.9")
+        else:
+            qd = scheme
         spec, params = build_quantized_model(
-            cfg, scheme, merge_info=mi, model_key="bench_8b",
+            cfg, qd, merge_info=mi, model_key=f"bench_8b_{scheme[:12]}",
             save_dir="/tmp/qpt_bench", dummy=True, impl=impl, num_layers=nl)
         prompt = np.array([[1]], dtype=np.int32)
         seq, stats = generate_fast(spec, params, prompt,
@@ -74,7 +87,9 @@ def main():
         # per-token time scales with quantized layer count
         toks = 1.0 / ((1.0 / toks) * full_layers / n_run)
 
-    metric = ("decode tokens/s/chip bs=1 Llama-3.1-8B 3.25-bit"
+    bits_label = "3.27-bit arith-TCQ MSQ" if scheme == "tcq1mix" \
+        else "3.25-bit"
+    metric = (f"decode tokens/s/chip bs=1 Llama-3.1-8B {bits_label}"
               + (" (extrapolated)" if extrapolated else ""))
     print(json.dumps({
         "metric": metric,
