@@ -447,10 +447,13 @@ def _tcq1_kernel(x_ref, tr_ref, o_ref, d_ref, *, KV, tk, wm, mode):
 def tcq1_decode_matmul(x, tr_kt, KV: int, mode: str, m: int, k: int):
     """x (N, k); tr_kt (k/16, 8KV, m/16) uint32 (V=1 trellis).
 
-    Returns (N, m) f32 = x @ dequant(trellis)^T; decode is pure ALU."""
+    Returns (N, m) f32 = x @ dequant(trellis)^T; decode is pure ALU.
+
+    tk kept small: the kernel unrolls tk*32 decode iterations and Mosaic
+    compile time grows superlinearly with the unroll."""
     N = x.shape[0]
     kt_total = k // 16
-    tk = next(c for c in (16, 8, 4, 2, 1) if kt_total % c == 0)
+    tk = next(c for c in (4, 2, 1) if kt_total % c == 0)
     wm = _pick_width(m // 16, candidates=(256, 128, 64))
     gk = kt_total // tk
     gm = (m // 16) // wm

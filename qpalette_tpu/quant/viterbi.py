@@ -72,10 +72,12 @@ def viterbi_encode(X: jax.Array, lut: jax.Array, KV: int,
         allowed = q[None, :] == init_c[:, None]
         cost0 = jnp.where(allowed, cost0, big)
 
+    bp_dtype = jnp.uint8 if KV <= 8 else jnp.int32  # NR = 2^KV indices
+
     def step(cost, x_step):
         err = _state_err(x_step, lutf, norms)
         c = cost.reshape(B, NQ, NR)
-        bp = jnp.argmin(c, axis=2).astype(jnp.uint8)  # (B, NQ)
+        bp = jnp.argmin(c, axis=2).astype(bp_dtype)  # (B, NQ)
         mn = jnp.min(c, axis=2)  # (B, NQ)
         # cost_new[s'] = err[s'] + mn[s' & mask];  s' = t * NQ + q
         new_cost = err.reshape(B, NR, NQ) + mn[:, None, :]
