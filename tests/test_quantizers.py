@@ -259,3 +259,16 @@ def test_tcq1_arithmetic_mode_end_to_end():
 
     art = quantize_linear(np.asarray(Wr) * 0.02, "tcq1_3_none_0.9", seed=0)
     assert art["meta"]["err"] < 0.2, art["meta"]["err"]
+
+
+def test_viterbi_high_kv_backtrace():
+    """KV > 8 uses >8-bit backtrace pointers (regression: uint8 overflow
+    produced garbage for tcq_9/tcq_10)."""
+    lut = jnp.asarray(trellis_lut(tlut_bits_for_kv(9)))
+    rng = np.random.default_rng(3)
+    X = jnp.asarray(rng.standard_normal((2, 256)).astype(np.float32))
+    hat, states = tcq_quantize(X, lut, 9)
+    st = np.asarray(states)
+    assert np.all((st[:, 1:] & ((1 << 7) - 1)) == (st[:, :-1] >> 9))
+    mse = float(jnp.mean((hat - X) ** 2))
+    assert mse < 0.02, mse  # 4.5 bits/weight
