@@ -57,6 +57,13 @@ def quantizer_proxy_err(qstr: str, size: int = 4096, seed: int = 0) -> float:
         _, hat = quantizers.quantize_mat_combt(Wr * (s / cbr), None,
                                                spec.KV[0], spec.KV[1])
         hat = hat * (cbr / s)
+    elif spec.family in ("tcq1", "tcq1x2"):
+        from qpalette_tpu.ops.codebooks import trellis_lut_arith, lut_rms
+        mode = "1mad" if spec.family == "tcq1" else "2mad"
+        cbr = lut_rms(trellis_lut_arith(mode))
+        _, hat = quantizers.quantize_mat_tcq1(Wr * (s / cbr), None,
+                                              spec.KV[0], mode=mode)
+        hat = hat * (cbr / s)
     elif spec.family == "ldlq":
         _, hat = quantizers.quantize_mat_vq(Wr * s, None, spec.bits,
                                             spec.vec)
