@@ -399,40 +399,84 @@ def _mad_value(u, mode):
 
 
 def _tcq1_kernel(x_ref, tr_ref, o_ref, d_ref, *, KV, tk, wm, mode):
+    # x_ref block is (1, N, tk*16): k-chunks ride the leading grid dim so the
+    # trailing dims equal the full array dims (Mosaic block-shape rule; a
+    # (N, tk*16) lane-blocked spec needs tk*16 % 128 == 0, which a small tk
+    # violates).
     j = pl.program_id(1)
     W = 8 * KV
-    sv = jax.lax.broadcasted_iota(jnp.int32, (8, wm), 0)
-    for kt in range(tk):
+    tv = jax.lax.broadcasted_iota(jnp.int32, (16, wm), 0)
+    # Start-word offsets relative to wbase take only a handful of values
+    # ((31 + 15*KV) // 32 + 1), so the bit-window select is a short
+    # broadcast+where chain on the VPU — NOT a sublane gather
+    # (take_along_axis lowers to tpu.dynamic_gather, the very op this
+    # quantizer family exists to avoid).
+    # The (select-mask, shift) pattern depends only on (16*v2*KV) mod 32,
+    # which takes at most TWO values across v2 — precompute both phases once
+    # instead of re-deriving them in every unrolled iteration.  Per phase,
+    # rmax = (ph + 15*KV) >> 5 bounds the start-word offset, so the select
+    # chain is usually a single where.
+    assert mode == "1mad", "2mad needs 32x32->hi32 multiply (round 2)"
+    phases = {}
+    for v2 in range(16):
+        ph = (16 * v2 * KV) % 32
+        if ph not in phases:
+            bitoff = tv * KV + ph
+            relv = bitoff >> 5
+            shv = (bitoff & 31).astype(jnp.uint32)
+            rmax = (ph + 15 * KV) >> 5
+            masks = [relv >= r for r in range(1, rmax + 1)]
+            phases[ph] = (masks, shv, jnp.uint32(31) - shv, rmax)
+    M16 = jnp.uint32(0xFFFF)
+    MPAIR = jnp.uint32(0x00FF00FF)  # 16-bit-field pairwise byte sum
+
+    def decode_tile(kt):
         tile_words = tr_ref[kt]  # (8KV, wm)
-        for v in range(32):
-            base_bits = 8 * v * KV
+        for v2 in range(16):
+            base_bits = 16 * v2 * KV
             wbase = base_bits // 32
-            if wbase + 8 <= W:
-                win = tile_words[wbase:wbase + 8, :]
+            masks, shv, lsh, rmax = phases[base_bits % 32]
+            nrows = rmax + 2
+            if wbase + nrows <= W:
+                win = tile_words[wbase:wbase + nrows, :]
             else:  # circular wrap
                 win = jnp.concatenate([tile_words[wbase:, :],
-                                       tile_words[:wbase + 8 - W, :]],
+                                       tile_words[:wbase + nrows - W, :]],
                                       axis=0)
-            bitoff = (sv + 8 * v) * KV
-            relv = (bitoff >> 5) - wbase
-            shv = (bitoff & 31).astype(jnp.uint32)
-            lo = jnp.take_along_axis(win, relv, axis=0)
-            hi = jnp.take_along_axis(win, relv + 1, axis=0)
-            state = (lo >> shv) | ((hi << (jnp.uint32(31) - shv))
-                                   << jnp.uint32(1))
-            u = state & jnp.uint32(0xFFFF)
-            val = _mad_value(u, mode)
-            # position p = 8v+s -> tile row v//2, col 8*(v%2)+s
-            r = v // 2
-            c0 = kt * 16 + 8 * (v % 2)
-            d_ref[r, c0:c0 + 8, :] = val.astype(DDT)
-    xb = x_ref[:]
-    accs = []
-    for vv in range(16):
-        accs.append(jax.lax.dot_general(
-            xb, d_ref[vv], (((1,), (0,)), ((), ())),
-            preferred_element_type=ACC))
-    acc = jnp.stack(accs, axis=0)
+            lo = jnp.broadcast_to(win[0:1, :], (16, wm))
+            hi = jnp.broadcast_to(win[1:2, :], (16, wm))
+            for r in range(1, rmax + 1):
+                lo = jnp.where(masks[r - 1], win[r:r + 1, :], lo)
+                hi = jnp.where(masks[r - 1], win[r + 1:r + 2, :], hi)
+            state = (lo >> shv) | ((hi << lsh) << jnp.uint32(1))
+            # 1mad decode with byte sums in parallel 16-bit fields
+            # (bytes <= 255+255 so fields never carry across).
+            h = (state & M16) * jnp.uint32(_MAD1_A) + jnp.uint32(_MAD1_B)
+            t2 = (h & MPAIR) + ((h >> jnp.uint32(8)) & MPAIR)
+            s4 = (t2 + (t2 >> jnp.uint32(16))) & jnp.uint32(0x7FF)
+            val = ((s4.astype(jnp.int32) - 510).astype(jnp.float32)
+                   * _MAD_INV)
+            # positions p = 16*v2 + t -> tile m-row v2, k-col t; scratch is
+            # (tk*16, 16*wm) [k, v2*wm + mcol] so a whole K-chunk is ONE
+            # MXU dot instead of 16 skinny ones (dispatch-bound otherwise).
+            d_ref[kt * 16:(kt + 1) * 16, v2 * wm:(v2 + 1) * wm] = \
+                val.astype(DDT)
+
+    # Chunk the contraction at K=128: each chunk's dot depends only on the
+    # 8 tiles decoded for it, so the VLIW scheduler can overlap the VPU
+    # decode of chunk c+1 with the MXU pass over chunk c (a single dot over
+    # the full scratch serializes VPU and MXU end-to-end).
+    xb = x_ref[0]
+    cc = 8 if tk % 8 == 0 else tk  # tiles per K-chunk
+    acc = None
+    for c0 in range(0, tk, cc):
+        for kt in range(c0, c0 + cc):
+            decode_tile(kt)
+        part = jax.lax.dot_general(
+            xb[:, c0 * 16:(c0 + cc) * 16],
+            d_ref[c0 * 16:(c0 + cc) * 16, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=ACC)
+        acc = part if acc is None else acc + part
 
     @pl.when(j == 0)
     def _():
@@ -453,28 +497,31 @@ def tcq1_decode_matmul(x, tr_kt, KV: int, mode: str, m: int, k: int):
     compile time grows superlinearly with the unroll."""
     N = x.shape[0]
     kt_total = k // 16
-    tk = next(c for c in (4, 2, 1) if kt_total % c == 0)
+    tk = next(c for c in (32, 16, 8, 4, 2, 1) if kt_total % c == 0)
     wm = _pick_width(m // 16, candidates=(256, 128, 64))
     gk = kt_total // tk
     gm = (m // 16) // wm
-    xp = x.astype(DDT)  # natural column order: no activation permutation
+    # natural column order (no activation permutation); k-chunked on dim 0
+    xp = x.astype(DDT).reshape(N, gk, tk * 16).transpose(1, 0, 2)
     out = pl.pallas_call(
         functools.partial(_tcq1_kernel, KV=KV, tk=tk, wm=wm, mode=mode),
-        out_shape=jax.ShapeDtypeStruct((16, N, m // 16), ACC),
+        out_shape=jax.ShapeDtypeStruct((N, m), ACC),
         grid=(gm, gk),
         in_specs=[
-            pl.BlockSpec((N, tk * 16), lambda i, j: (0, j),
+            pl.BlockSpec((1, N, tk * 16), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tk, 8 * KV, wm), lambda i, j: (j, 0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((16, N, wm), lambda i, j: (0, 0, i),
+        out_specs=pl.BlockSpec((N, 16 * wm), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((16, tk * 16, wm), DDT)],
+        scratch_shapes=[pltpu.VMEM((tk * 16, 16 * wm), DDT)],
         compiler_params=_cparams(),
         interpret=INTERPRET,
     )(xp, tr_kt)
-    return out.transpose(1, 2, 0).reshape(N, m)
+    # block column order is (v2, mcol); actual m index = tile*16 + v2
+    return (out.reshape(N, gm, 16, wm).transpose(0, 1, 3, 2)
+            .reshape(N, m))
 
 
 # ---------------------------------------------------------------------------
