@@ -36,7 +36,10 @@ def main():
     from qpalette_tpu.runtime.loader import build_quantized_model
     from qpalette_tpu.runtime.decode import generate_fast, model_bytes
 
-    scheme = os.environ.get("QPT_BENCH_SCHEME", "tcomb_6_7_0.5_none_0.9")
+    # default = the TPU-fast arithmetic-decode MSQ mix (what the
+    # latency-aware solver picks on this hardware; 3.27-bit avg, proxy err
+    # 0.0177 < reference tcomb headline's tcq_6 0.0189)
+    scheme = os.environ.get("QPT_BENCH_SCHEME", "tcq1mix")
     impl = os.environ.get("QPT_BENCH_IMPL", "pallas")
     n_layers = int(os.environ.get("QPT_BENCH_LAYERS", "32"))
     n_tokens = int(os.environ.get("QPT_BENCH_TOKENS", "64"))
