@@ -83,21 +83,30 @@ class AttnSpec:
     merge ∈ {None, 'qk', 'kv', 'qv', 'qkv'} mirrors the reference merge
     flags (incoherent_linear.py:69-74); merged projections share one fused
     linear whose output is split after the matmul.
+
+    rot_blocks_o > 1: the o_proj input rotation is block-diagonal
+    (I_b ⊗ Ĥ) — artifacts quantized for row-parallel tensor sharding
+    (reference `rcp` semantics, bitshift.py:374-388).
     """
     merge: Optional[str]
     projs: tuple  # tuple[(name, LinearSpec)], e.g. (("qkv", spec), ("o", o))
+    rot_blocks_o: int = 1
 
 
 @dataclass(frozen=True)
 class MLPSpec:
     merge_ug: bool
     projs: tuple  # (("ug"|"up","gate"), ("down", spec))
+    rot_blocks_down: int = 1
 
 
 @dataclass(frozen=True)
 class ModelSpec:
     config: LlamaConfig
     layers: tuple  # tuple[(AttnSpec, MLPSpec)]
+    # set on the per-device local spec inside a shard_map tensor-parallel
+    # forward: name of the mesh axis to psum row-parallel (o/down) outputs
+    tp_axis: Optional[str] = None
 
 
 # ---------------------------------------------------------------------------
@@ -130,9 +139,11 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
             + rot.astype(jnp.float32) * sin[..., None, :]).astype(x.dtype)
 
 
-def _rotate_in(x: jax.Array, su: jax.Array) -> jax.Array:
-    """Incoherence rotation of activations: z = (x ⊙ SU) @ Ĥᵀ."""
-    return hadamard_transform_t(x * su).astype(x.dtype)
+def _rotate_in(x: jax.Array, su: jax.Array, blocks: int = 1) -> jax.Array:
+    """Incoherence rotation of activations: z = (x ⊙ SU) @ Ĥᵀ.
+
+    blocks > 1 = block-diagonal rotation for row-parallel layers (rcp)."""
+    return hadamard_transform_t(x * su, blocks=blocks).astype(x.dtype)
 
 
 def _attention(q, k, v, mask, cfg: LlamaConfig):
@@ -154,9 +165,13 @@ def _attention(q, k, v, mask, cfg: LlamaConfig):
 
 def attn_forward(spec: AttnSpec, cfg: LlamaConfig, p: dict, x: jax.Array,
                  cos, sin, kv_cache=None, cache_pos=None, mask=None,
-                 luts=None):
+                 luts=None, tp_axis=None):
     """x (B, S, hidden).  Returns (out, new_kv) where kv is (k, v) each
-    (B, T, hk, d)."""
+    (B, T, hk, d).
+
+    Under a shard_map tensor-parallel forward (parallel/tp.py), cfg/spec are
+    the per-device *local* versions (heads divided by tp) and tp_axis names
+    the mesh axis for the o_proj partial-sum reduction."""
     B, S, N = x.shape
     rotated = spec.projs[0][1].kind != "dense"
     if rotated:
@@ -169,7 +184,10 @@ def attn_forward(spec: AttnSpec, cfg: LlamaConfig, p: dict, x: jax.Array,
             continue
         y = qlinear_apply(lspec, p[name], z.reshape(-1, N), luts)
         outs[name] = y.reshape(B, S, -1)
-    hs, kv = cfg.hidden_size, cfg.kv_out
+    # q width = heads*head_dim (== hidden when unsharded; the local value
+    # under tensor parallelism), kv width analogous
+    hs = cfg.num_heads * cfg.head_dim
+    kv = cfg.kv_out
     if spec.merge == "qkv":
         q, k, v = jnp.split(outs["qkv"], [hs, hs + kv], axis=-1)
     elif spec.merge == "qk":
@@ -232,21 +250,24 @@ def attn_forward(spec: AttnSpec, cfg: LlamaConfig, p: dict, x: jax.Array,
         k_full, v_full, new_kv = k, v, (k, v)
 
     att = _attention(q, k_full, v_full, mask, cfg)
+    qw = att.shape[-1]  # heads*head_dim (local width under tp)
     if rotated:
-        zo = _rotate_in(att.reshape(-1, N), p["su_o"]).reshape(B, S, N)
+        zo = _rotate_in(att.reshape(-1, qw), p["su_o"],
+                        blocks=spec.rot_blocks_o)
     else:
-        zo = att
+        zo = att.reshape(-1, qw)
     oname, ospec = spec.projs[-1]
     assert oname == "o"
-    out = qlinear_apply(ospec, p["o"], zo.reshape(-1, N),
-                        luts).reshape(B, S, N)
+    out = qlinear_apply(ospec, p["o"], zo, luts).reshape(B, S, N)
+    if tp_axis is not None:  # row-parallel o_proj partial sums
+        out = jax.lax.psum(out, tp_axis)
     return out, new_kv
 
 
 def mlp_forward(spec: MLPSpec, cfg: LlamaConfig, p: dict, x: jax.Array,
-                luts=None):
+                luts=None, tp_axis=None):
     B, S, N = x.shape
-    I = cfg.intermediate_size
+    I = cfg.intermediate_size  # local value under tensor parallelism
     rotated = spec.projs[0][1].kind != "dense"
     z = (_rotate_in(x.reshape(-1, N), p["su_ug"]) if rotated
          else x.reshape(-1, N))
@@ -260,8 +281,11 @@ def mlp_forward(spec: MLPSpec, cfg: LlamaConfig, p: dict, x: jax.Array,
         gate = qlinear_apply(g_spec, p["gate"], z, luts)
     h = jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)
     h = h.astype(x.dtype)
-    zd = _rotate_in(h, p["su_dp"]) if rotated else h
+    zd = (_rotate_in(h, p["su_dp"], blocks=spec.rot_blocks_down)
+          if rotated else h)
     out = qlinear_apply(d_spec, p["down"], zd, luts)
+    if tp_axis is not None:  # row-parallel down_proj partial sums
+        out = jax.lax.psum(out, tp_axis)
     return out.reshape(B, S, N)
 
 
@@ -312,10 +336,12 @@ def forward(spec: ModelSpec, params: Params, tokens: jax.Array,
         a, kv = attn_forward(aspec, cfg, lp, h, cos, sin,
                              kv_cache=None if kv_caches is None
                              else kv_caches[li],
-                             cache_pos=cache_pos, mask=mask, luts=luts)
+                             cache_pos=cache_pos, mask=mask, luts=luts,
+                             tp_axis=spec.tp_axis)
         x = x + a
         h = rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
-        x = x + mlp_forward(mspec, cfg, lp, h, luts=luts)
+        x = x + mlp_forward(mspec, cfg, lp, h, luts=luts,
+                            tp_axis=spec.tp_axis)
         new_caches.append(kv)
 
     x = rms_norm(x, params["ln_f"], cfg.rms_eps)

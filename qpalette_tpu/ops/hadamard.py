@@ -191,22 +191,44 @@ def _apply(x: jax.Array, n: int, transpose: bool) -> jax.Array:
     return x.reshape(orig_shape).astype(orig_dtype)
 
 
-def hadamard_transform(x: jax.Array, axis: int = -1) -> jax.Array:
+def _apply_blocks(x: jax.Array, blocks: int, transpose: bool) -> jax.Array:
+    """Block-diagonal transform: I_blocks ⊗ Ĥ_{n/blocks} along the last axis.
+
+    This is the tensor-parallel rotation of the reference's `rcp` hooks
+    (lib/codebook/bitshift.py:374-388, lib/utils/data_utils.py:287-308):
+    when a projection's *input* dim is sharded over tp devices, the
+    incoherence Hadamard must act per shard of size n/tp so each device can
+    rotate its local activations without communication."""
+    n = x.shape[-1]
+    assert n % blocks == 0, (n, blocks)
+    shp = x.shape
+    x = x.reshape(shp[:-1] + (blocks, n // blocks))
+    out = _apply(x, n // blocks, transpose=transpose)
+    return out.reshape(shp)
+
+
+def hadamard_transform(x: jax.Array, axis: int = -1,
+                       blocks: int = 1) -> jax.Array:
     """Orthonormal Hadamard transform along ``axis`` (y = x @ Ĥ, Ĥ Ĥᵀ = I).
 
     Runtime (decode-path) rotation; the quantize path uses
     :func:`hadamard_transform_t` so that Ĥᵀ Ĥ = I composes to identity.
     Replaces reference matmul_hadU_cuda / fast_hadamard_transform.
+    ``blocks > 1`` applies a block-diagonal I_b ⊗ Ĥ (tensor-parallel `rcp`
+    rotation; see _apply_blocks).
     """
     axis = axis % x.ndim
     if axis != x.ndim - 1:
         x = jnp.moveaxis(x, axis, -1)
-        out = _apply(x, x.shape[-1], transpose=False)
+        out = hadamard_transform(x, -1, blocks)
         return jnp.moveaxis(out, -1, axis)
+    if blocks != 1:
+        return _apply_blocks(x, blocks, transpose=False)
     return _apply(x, x.shape[-1], transpose=False)
 
 
-def hadamard_transform_t(x: jax.Array, axis: int = -1) -> jax.Array:
+def hadamard_transform_t(x: jax.Array, axis: int = -1,
+                         blocks: int = 1) -> jax.Array:
     """Transpose transform (y = x @ Ĥᵀ) — quantization-side rotation.
 
     Mirrors reference matmul_hadUt (matmul_had.py:90).
@@ -214,8 +236,10 @@ def hadamard_transform_t(x: jax.Array, axis: int = -1) -> jax.Array:
     axis = axis % x.ndim
     if axis != x.ndim - 1:
         x = jnp.moveaxis(x, axis, -1)
-        out = _apply(x, x.shape[-1], transpose=True)
+        out = hadamard_transform_t(x, -1, blocks)
         return jnp.moveaxis(out, -1, axis)
+    if blocks != 1:
+        return _apply_blocks(x, blocks, transpose=True)
     return _apply(x, x.shape[-1], transpose=True)
 
 

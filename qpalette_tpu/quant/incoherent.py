@@ -98,23 +98,32 @@ def parse_quantizer_str(qstr: str) -> QuantizerSpec:
     raise ValueError(f"unknown quantizer_str {qstr!r}")
 
 
-def _rotate_weight(W: jax.Array, SU: jax.Array) -> jax.Array:
-    return hadamard_transform(W.astype(jnp.float32) * SU[None, :])
+def _rotate_weight(W: jax.Array, SU: jax.Array,
+                   rot_blocks: int = 1) -> jax.Array:
+    return hadamard_transform(W.astype(jnp.float32) * SU[None, :],
+                              blocks=rot_blocks)
 
 
-def rotate_hessian(H: jax.Array, SU: jax.Array) -> jax.Array:
+def rotate_hessian(H: jax.Array, SU: jax.Array,
+                   rot_blocks: int = 1) -> jax.Array:
     """HRr = Ĥᵀ S H S Ĥ (reference tcq_quant.py:133-135)."""
-    B = hadamard_transform(H.astype(jnp.float32) * SU[None, :])
-    return hadamard_transform(B.T * SU[None, :]).T
+    B = hadamard_transform(H.astype(jnp.float32) * SU[None, :],
+                           blocks=rot_blocks)
+    return hadamard_transform(B.T * SU[None, :], blocks=rot_blocks).T
 
 
 def quantize_linear(W, quantizer_str: str, SU=None, H=None,
-                    seed: int = 0) -> dict:
+                    seed: int = 0, rot_blocks: int = 1) -> dict:
     """Quantize one linear weight (out, in) -> artifact dict.
 
     Mirrors quantize_layer.quantize_linear (quantize_layer.py:28-97),
     left-only incoherence (rot_info='skip_r', the only mode the reference
     exercises — quantize_layer.py:126-130).
+
+    rot_blocks > 1 quantizes against a block-diagonal input rotation
+    (I_b ⊗ Ĥ_{n/b}) — required for row-parallel (input-sharded) layers so
+    each tensor-parallel shard rotates locally (reference `rcp` semantics,
+    bitshift.py:374-388).
     """
     spec = parse_quantizer_str(quantizer_str)
     W = jnp.asarray(W)
@@ -123,7 +132,7 @@ def quantize_linear(W, quantizer_str: str, SU=None, H=None,
         SU = random_signs(n, jax.random.PRNGKey(seed))
     SU = jnp.asarray(SU, jnp.float32)
 
-    Wr = _rotate_weight(W, SU)
+    Wr = _rotate_weight(W, SU, rot_blocks)
     if spec.family in ("tcq", "tcomb", "comb"):
         cb_rms = lut_rms(trellis_lut(tlut_bits_for_kv(max(spec.KV))))
     elif spec.family in ("tcq1", "tcq1x2"):
@@ -138,7 +147,7 @@ def quantize_linear(W, quantizer_str: str, SU=None, H=None,
 
     HRr = None
     if spec.use_hess and H is not None:
-        HRr = rotate_hessian(jnp.asarray(H), SU)
+        HRr = rotate_hessian(jnp.asarray(H), SU, rot_blocks)
 
     if spec.family == "tcq":
         linear, hatWr = quantizers.quantize_mat_tcq(
@@ -194,6 +203,7 @@ def quantize_linear(W, quantizer_str: str, SU=None, H=None,
             "in_features": n,
             "out_features": m,
             "rot_info": "skip_r",
+            "rot_blocks": rot_blocks,
             "err": rel_err,
             "orig_err": orig_err,
             "kurtosis": kurt,

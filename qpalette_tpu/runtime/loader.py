@@ -323,21 +323,24 @@ def dummy_artifact(qstr: str, shape, seed: int = 0) -> dict:
 # ---------------------------------------------------------------------------
 
 def _get_artifact(cfg, model_key, layer, key, qstr, save_dir, seed,
-                  dense_w=None, dummy=False):
+                  dense_w=None, dummy=False, rot_blocks=1):
     if dummy:
         art = dummy_artifact(qstr, proj_shape(cfg, key),
                              seed=abs(hash((layer, key))) % (1 << 31))
         # dummy mode must still share SU within each rotation group so
         # merged projections remain constructible
         art["SU"] = su_for(cfg, layer, key, seed)
+        art["meta"]["rot_blocks"] = rot_blocks
         return art
-    path = artifact_path(save_dir, model_key, seed, qstr, layer, key)
+    qdir = qstr if rot_blocks == 1 else f"{qstr}__rb{rot_blocks}"
+    path = artifact_path(save_dir, model_key, seed, qdir, layer, key)
     if os.path.exists(path):
         return load_artifact(path)
     assert dense_w is not None, (
         f"artifact missing and no dense weights to quantize: {path}")
     su = su_for(cfg, layer, key, seed)
-    art = quantize_linear(dense_w, qstr, SU=su, seed=seed)
+    art = quantize_linear(dense_w, qstr, SU=su, seed=seed,
+                          rot_blocks=rot_blocks)
     save_artifact(art, path)
     return art
 
@@ -347,13 +350,17 @@ def build_quantized_model(cfg: LlamaConfig, qdict, merge_info=None,
                           save_dir: str = "quant_results", seed: int = 0,
                           dense_params: Optional[dict] = None,
                           dummy: bool = False, impl: str = "xla",
-                          num_layers: Optional[int] = None):
+                          num_layers: Optional[int] = None,
+                          row_parallel_tp: int = 1):
     """Assemble (ModelSpec, params) for a quantized Llama.
 
     qdict: quantizer_str, or dict {f"{i}_{key}": qstr | (qstr, simt)}.
     merge_info: per-layer list like ["merge_qkv", "merge_ug"] or None.
     dense_params: optional dict with dense model params (for
     quantize-on-demand and for embeddings/norms/lm_head).
+    row_parallel_tp > 1: quantize o_proj/down_proj against block-diagonal
+    input rotations (rot_blocks=tp) for the shard_map tensor-parallel path
+    (parallel/tp.py, the reference's `rcp` semantics); requires no merges.
     """
     nl = num_layers if num_layers is not None else cfg.num_layers
     dtype = cfg.dtype
@@ -387,13 +394,19 @@ def build_quantized_model(cfg: LlamaConfig, qdict, merge_info=None,
                 merge_attn = mm
         merge_ug = "merge_ug" in mi
 
+        if row_parallel_tp > 1:
+            assert merge_attn is None and not merge_ug, \
+                "row_parallel_tp requires unmerged projections"
         arts = {}
         for key in LAYER_KEYS:
             qs, impl_k = qstr_for(i, key)
+            rb = row_parallel_tp if key in (
+                "self_attn.o_proj", "mlp.down_proj") else 1
             arts[key] = _get_artifact(
                 cfg, model_key, i, key, qs, save_dir, seed,
                 dense_w=None if dense_params is None
-                else dense_params["layers"][i][key], dummy=dummy)
+                else dense_params["layers"][i][key], dummy=dummy,
+                rot_blocks=rb)
 
         q, k, v, o = (arts["self_attn.q_proj"], arts["self_attn.k_proj"],
                       arts["self_attn.v_proj"], arts["self_attn.o_proj"])
@@ -464,8 +477,10 @@ def build_quantized_model(cfg: LlamaConfig, qdict, merge_info=None,
             lp["ln_mlp"] = jnp.ones((cfg.hidden_size,), dtype)
 
         layers_params.append(lp)
-        layer_specs.append((AttnSpec(merge_attn, tuple(attn_projs)),
-                            MLPSpec(merge_ug, tuple(mlp_projs))))
+        layer_specs.append((AttnSpec(merge_attn, tuple(attn_projs),
+                                     rot_blocks_o=row_parallel_tp),
+                            MLPSpec(merge_ug, tuple(mlp_projs),
+                                    rot_blocks_down=row_parallel_tp)))
 
     cfg_nl = cfg if nl == cfg.num_layers else \
         LlamaConfig(**{**cfg.__dict__, "num_layers": nl})

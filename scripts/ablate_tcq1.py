@@ -55,8 +55,8 @@ def _kernel(x_ref, tr_ref, o_ref, d_ref, *, KV, tk, wm, variant):
                 if rr < 16:
                     blk = jnp.pad(blk, ((0, 16 - rr), (0, 0)))
                 s = s + blk
-        acc = jnp.broadcast_to(
-            s[0:1, :].astype(jnp.float32), o_ref.shape) * 1e-30
+        acc = (jnp.zeros(o_ref.shape, jnp.float32)
+               + jnp.sum(s.astype(jnp.int32)).astype(jnp.float32) * 1e-30)
 
         @pl.when(j == 0)
         def _():
@@ -162,27 +162,38 @@ def run_variant(x, tr_kt, KV, m, k, variant):
     return (out.reshape(N, gm, 16, wm).transpose(0, 1, 3, 2).reshape(N, m))
 
 
+REPS_LO, REPS_HI = 40, 240
+
+
 def timeit(fn, x, *arrs):
-    def loop(x, *arrs):
-        def it(carry, _):
-            xx, acc = carry
-            y = fn(xx, *arrs)
-            xx = (xx * 0.999
-                  + jnp.sum(y).astype(xx.dtype) * 1e-20).astype(xx.dtype)
-            return (xx, acc + jnp.sum(y)), None
-        (xf, acc), _ = jax.lax.scan(it, (x, jnp.float32(0)), None,
-                                    length=REPS)
-        return acc
-    f = jax.jit(loop)
-    r = f(x, *arrs)
-    np.asarray(jax.device_get(r))
-    best = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter()
+    """us/call via the slope between two in-jit scan lengths — cancels the
+    axon dispatch fixed cost AND the constant part of the scan tax."""
+    def mkloop(reps):
+        def loop(x, *arrs):
+            def it(carry, _):
+                xx, acc = carry
+                y = fn(xx, *arrs)
+                xx = (xx * 0.999
+                      + jnp.sum(y).astype(xx.dtype) * 1e-20).astype(xx.dtype)
+                return (xx, acc + jnp.sum(y)), None
+            (xf, acc), _ = jax.lax.scan(it, (x, jnp.float32(0)), None,
+                                        length=reps)
+            return acc
+        return jax.jit(loop)
+
+    ts = {}
+    for reps in (REPS_LO, REPS_HI):
+        f = mkloop(reps)
         r = f(x, *arrs)
         np.asarray(jax.device_get(r))
-        best = min(best, (time.perf_counter() - t0) / REPS)
-    return best * 1e6  # us/call
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = f(x, *arrs)
+            np.asarray(jax.device_get(r))
+            best = min(best, time.perf_counter() - t0)
+        ts[reps] = best
+    return (ts[REPS_HI] - ts[REPS_LO]) / (REPS_HI - REPS_LO) * 1e6
 
 
 def main():
