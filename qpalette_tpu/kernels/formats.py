@@ -83,6 +83,42 @@ def tcq_kernel_weights(trellis: np.ndarray, m: int, k: int) -> np.ndarray:
     return np.ascontiguousarray(arr.transpose(1, 2, 0))
 
 
+def tcq1_n_planes(KV: int) -> int:
+    """32-bit planes per sublane group for the planar tcq1 layout."""
+    return -(-(15 * KV + 16) // 32)
+
+
+def tcq1_planar_weights(trellis, m: int, k: int, KV: int):
+    """canonical (T, 8KV) tile-row-major -> planar (k/16, NP*16, m/16).
+
+    Planar layout for the gather-free tcq1 kernel: tile order is k-major
+    (state p = 16*t + v2; t = k-col = sublane, v2 = m-row), and row
+    j*16 + t holds the ALIGNED 32-bit window [16*KV*t + 32*j, +32) of the
+    tile's circular bitstream.  In-kernel state derivation is then
+    constant-shift-only (no per-sublane variable shifts / select chains);
+    stream inflation is 32*NP/(8*KV) (1.33x at KV=3).  jnp ops throughout
+    so dummy-mode weights can be generated on device."""
+    T, W = trellis.shape
+    assert W == 8 * KV
+    mt, kt = m // 16, k // 16
+    assert T == mt * kt
+    NP = tcq1_n_planes(KV)
+    arr = jnp.asarray(trellis).reshape(mt, kt, W).transpose(1, 2, 0)
+    rows = []
+    for j in range(NP):
+        for t in range(16):
+            off = (16 * KV * t + 32 * j) % (256 * KV)
+            w0, sh = off >> 5, off & 31
+            lo = arr[:, w0, :]
+            if sh == 0:
+                rows.append(lo)
+            else:
+                hi = arr[:, (w0 + 1) % W, :]
+                rows.append((lo >> jnp.uint32(sh))
+                            | (hi << jnp.uint32(32 - sh)))
+    return jnp.stack(rows, axis=1)  # (kt, NP*16, mt), row j*16+t
+
+
 def lut_tables(lut: np.ndarray, bits: int) -> np.ndarray:
     """(2^bits, vec) codebook -> (vec, nch, 8, 128) f32 lane-gather tables
     (each 128-entry chunk replicated across the 8 sublanes)."""

@@ -398,85 +398,66 @@ def _mad_value(u, mode):
     return y * _MAD_INV
 
 
-def _tcq1_kernel(x_ref, tr_ref, o_ref, d_ref, *, KV, tk, wm, mode):
-    # x_ref block is (1, N, tk*16): k-chunks ride the leading grid dim so the
-    # trailing dims equal the full array dims (Mosaic block-shape rule; a
-    # (N, tk*16) lane-blocked spec needs tk*16 % 128 == 0, which a small tk
-    # violates).
+def _bytes_as_bf16(h_chunk, interpret: bool):
+    """(R, C) uint32 (already XOR 0x80808080) -> (4R, C) bf16 whose values
+    are int8 reinterpretations of the bytes (= original byte - 128).
+
+    Compiled path: Mosaic sublane bitcast u32 -> i8 (row 4s+b = byte b,
+    little-endian) + exact i8->bf16 convert.  Interpret path mirrors the
+    same byte order with shifts."""
+    if not interpret:
+        return pltpu.bitcast(h_chunk, jnp.int8).astype(DDT)
+    R, C = h_chunk.shape
+    parts = [((((h_chunk >> jnp.uint32(8 * b)) & jnp.uint32(255))
+               .astype(jnp.int32) ^ 128) - 128) for b in range(4)]
+    return jnp.stack(parts, axis=1).reshape(4 * R, C).astype(DDT)
+
+
+def _tcq1_kernel(x4_ref, tr_ref, o_ref, d_ref, *, KV, tk, wm, cc, NP):
+    """Planar gather-free tcq1 decode + MXU byte-sum matmul.
+
+    Weights arrive pre-swizzled (formats.tcq1_planar_weights): row j*16+t of
+    a tile holds the ALIGNED window [16*KV*t + 32*j, +32) of the tile's
+    bitstream, so deriving state i of each sublane's 16-state group is
+    constant shifts only.  The 1mad byte-sum (bitshift.py:16-27) rides the
+    MXU: we store h = u*A+B (XOR 0x80808080) as uint32, bitcast to int8,
+    and dot against x repeated 4x — sum(int8 bytes) = sum(u8 bytes) - 512,
+    so  y = INV * (x4 @ bytes + 2 * sum(x)).  The dot also gains exactness:
+    no bf16 rounding of decoded weights (bytes are integers, exact in bf16).
+    """
     j = pl.program_id(1)
-    W = 8 * KV
-    tv = jax.lax.broadcasted_iota(jnp.int32, (16, wm), 0)
-    # Start-word offsets relative to wbase take only a handful of values
-    # ((31 + 15*KV) // 32 + 1), so the bit-window select is a short
-    # broadcast+where chain on the VPU — NOT a sublane gather
-    # (take_along_axis lowers to tpu.dynamic_gather, the very op this
-    # quantizer family exists to avoid).
-    # The (select-mask, shift) pattern depends only on (16*v2*KV) mod 32,
-    # which takes at most TWO values across v2 — precompute both phases once
-    # instead of re-deriving them in every unrolled iteration.  Per phase,
-    # rmax = (ph + 15*KV) >> 5 bounds the start-word offset, so the select
-    # chain is usually a single where.
-    assert mode == "1mad", "2mad needs 32x32->hi32 multiply (round 2)"
-    phases = {}
-    for v2 in range(16):
-        ph = (16 * v2 * KV) % 32
-        if ph not in phases:
-            bitoff = tv * KV + ph
-            relv = bitoff >> 5
-            shv = (bitoff & 31).astype(jnp.uint32)
-            rmax = (ph + 15 * KV) >> 5
-            masks = [relv >= r for r in range(1, rmax + 1)]
-            phases[ph] = (masks, shv, jnp.uint32(31) - shv, rmax)
     M16 = jnp.uint32(0xFFFF)
-    MPAIR = jnp.uint32(0x00FF00FF)  # 16-bit-field pairwise byte sum
+    XOR = jnp.uint32(0x80808080)
+    A, B = jnp.uint32(_MAD1_A), jnp.uint32(_MAD1_B)
 
     def decode_tile(kt):
-        tile_words = tr_ref[kt]  # (8KV, wm)
-        for v2 in range(16):
-            base_bits = 16 * v2 * KV
-            wbase = base_bits // 32
-            masks, shv, lsh, rmax = phases[base_bits % 32]
-            nrows = rmax + 2
-            if wbase + nrows <= W:
-                win = tile_words[wbase:wbase + nrows, :]
-            else:  # circular wrap
-                win = jnp.concatenate([tile_words[wbase:, :],
-                                       tile_words[:wbase + nrows - W, :]],
-                                      axis=0)
-            lo = jnp.broadcast_to(win[0:1, :], (16, wm))
-            hi = jnp.broadcast_to(win[1:2, :], (16, wm))
-            for r in range(1, rmax + 1):
-                lo = jnp.where(masks[r - 1], win[r:r + 1, :], lo)
-                hi = jnp.where(masks[r - 1], win[r + 1:r + 2, :], hi)
-            state = (lo >> shv) | ((hi << lsh) << jnp.uint32(1))
-            # 1mad decode with byte sums in parallel 16-bit fields
-            # (bytes <= 255+255 so fields never carry across).
-            h = (state & M16) * jnp.uint32(_MAD1_A) + jnp.uint32(_MAD1_B)
-            t2 = (h & MPAIR) + ((h >> jnp.uint32(8)) & MPAIR)
-            s4 = (t2 + (t2 >> jnp.uint32(16))) & jnp.uint32(0x7FF)
-            val = ((s4.astype(jnp.int32) - 510).astype(jnp.float32)
-                   * _MAD_INV)
-            # positions p = 16*v2 + t -> tile m-row v2, k-col t; scratch is
-            # (tk*16, 16*wm) [k, v2*wm + mcol] so a whole K-chunk is ONE
-            # MXU dot instead of 16 skinny ones (dispatch-bound otherwise).
-            d_ref[kt * 16:(kt + 1) * 16, v2 * wm:(v2 + 1) * wm] = \
-                val.astype(DDT)
+        planes = [tr_ref[kt, jj * 16:(jj + 1) * 16, :] for jj in range(NP)]
+        for i in range(16):  # i = m-row within tile
+            off = KV * i
+            j0, sh = off >> 5, off & 31
+            if sh + 16 <= 32:
+                u = planes[j0] >> jnp.uint32(sh) if sh else planes[j0]
+            else:
+                u = ((planes[j0] >> jnp.uint32(sh))
+                     | (planes[j0 + 1] << jnp.uint32(32 - sh)))
+            h = (u & M16) * A + B
+            d_ref[kt * 16:(kt + 1) * 16, i * wm:(i + 1) * wm] = h ^ XOR
 
-    # Chunk the contraction at K=128: each chunk's dot depends only on the
-    # 8 tiles decoded for it, so the VLIW scheduler can overlap the VPU
-    # decode of chunk c+1 with the MXU pass over chunk c (a single dot over
-    # the full scratch serializes VPU and MXU end-to-end).
-    xb = x_ref[0]
-    cc = 8 if tk % 8 == 0 else tk  # tiles per K-chunk
+    # chunked dots so the VLIW scheduler overlaps VPU decode of chunk c+1
+    # with the MXU pass over chunk c
+    x4 = x4_ref[0]  # (N, 4*tk*16)
     acc = None
     for c0 in range(0, tk, cc):
         for kt in range(c0, c0 + cc):
             decode_tile(kt)
+        h8 = _bytes_as_bf16(d_ref[c0 * 16:(c0 + cc) * 16, :], INTERPRET)
         part = jax.lax.dot_general(
-            xb[:, c0 * 16:(c0 + cc) * 16],
-            d_ref[c0 * 16:(c0 + cc) * 16, :],
+            x4[:, c0 * 64:(c0 + cc) * 64], h8,
             (((1,), (0,)), ((), ())), preferred_element_type=ACC)
         acc = part if acc is None else acc + part
+    # each x element appears 4x in x4, so sum(x4)/4 == sum(x)
+    sumx = jnp.sum(x4.astype(ACC), axis=1, keepdims=True) * 0.25
+    acc = (acc + 2.0 * sumx) * _MAD_INV
 
     @pl.when(j == 0)
     def _():
@@ -488,40 +469,277 @@ def _tcq1_kernel(x_ref, tr_ref, o_ref, d_ref, *, KV, tk, wm, mode):
 
 
 @functools.partial(jax.jit, static_argnames=("KV", "mode", "m", "k"))
-def tcq1_decode_matmul(x, tr_kt, KV: int, mode: str, m: int, k: int):
-    """x (N, k); tr_kt (k/16, 8KV, m/16) uint32 (V=1 trellis).
+def tcq1_decode_matmul(x, tr_pl, KV: int, mode: str, m: int, k: int):
+    """x (N, k); tr_pl (k/16, NP*16, m/16) uint32 planar layout
+    (formats.tcq1_planar_weights).  Returns (N, m) f32 = x @ W^T.
 
-    Returns (N, m) f32 = x @ dequant(trellis)^T; decode is pure ALU.
-
-    tk kept small: the kernel unrolls tk*32 decode iterations and Mosaic
-    compile time grows superlinearly with the unroll."""
+    Measured v5e (KV=3): 327-474 Gw/s vs 224-253 for the select-chain
+    kernel it replaced (scripts/proto_planar.py)."""
+    assert mode == "1mad", "2mad needs 32x32->hi32 multiply (round 2)"
+    from qpalette_tpu.kernels.formats import tcq1_n_planes
     N = x.shape[0]
+    NP = tcq1_n_planes(KV)
     kt_total = k // 16
     tk = next(c for c in (32, 16, 8, 4, 2, 1) if kt_total % c == 0)
-    wm = _pick_width(m // 16, candidates=(256, 128, 64))
+    # wm=128 measured fastest at every model shape (sweep in
+    # scripts/proto_planar.py); smaller candidates only for tiny tests
+    wm = _pick_width(m // 16, candidates=(128, 64))
     gk = kt_total // tk
     gm = (m // 16) // wm
-    # natural column order (no activation permutation); k-chunked on dim 0
+    cc = next(c for c in (8, 4, 2, 1) if tk % c == 0)
     xp = x.astype(DDT).reshape(N, gk, tk * 16).transpose(1, 0, 2)
+    x4 = jnp.repeat(xp, 4, axis=2)  # (gk, N, 4*tk*16), element-repeat
     out = pl.pallas_call(
-        functools.partial(_tcq1_kernel, KV=KV, tk=tk, wm=wm, mode=mode),
+        functools.partial(_tcq1_kernel, KV=KV, tk=tk, wm=wm, cc=cc, NP=NP),
         out_shape=jax.ShapeDtypeStruct((N, m), ACC),
         grid=(gm, gk),
         in_specs=[
-            pl.BlockSpec((1, N, tk * 16), lambda i, j: (j, 0, 0),
+            pl.BlockSpec((1, N, 4 * tk * 16), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk, 8 * KV, wm), lambda i, j: (j, 0, i),
+            pl.BlockSpec((tk, NP * 16, wm), lambda i, j: (j, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((N, 16 * wm), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((tk * 16, 16 * wm), DDT)],
+        scratch_shapes=[pltpu.VMEM((tk * 16, 16 * wm), jnp.uint32)],
         compiler_params=_cparams(),
         interpret=INTERPRET,
-    )(xp, tr_kt)
+    )(x4, tr_pl)
     # block column order is (v2, mcol); actual m index = tile*16 + v2
     return (out.reshape(N, gm, 16, wm).transpose(0, 1, 3, 2)
             .reshape(N, m))
+
+
+# ---------------------------------------------------------------------------
+# dequant-to-HBM kernels (reference dequant-only decompress_* variants,
+# tcq-kernels/src/inference.cu:1222-1605 and vq-tensor-kernels
+# inference.cu:882): the bs>8 / prefill path dequantizes once and rides the
+# MXU with a plain matmul, exactly the reference's large-batch fallback
+# (lib/linear/tcq_linear.py:75-84).
+# ---------------------------------------------------------------------------
+
+def _tcq1_dequant_kernel(tr_ref, o_ref, *, KV, tk, wm, NP):
+    M16 = jnp.uint32(0xFFFF)
+    MPAIR = jnp.uint32(0x00FF00FF)
+    A, B = jnp.uint32(_MAD1_A), jnp.uint32(_MAD1_B)
+    for kt in range(tk):
+        planes = [tr_ref[kt, jj * 16:(jj + 1) * 16, :] for jj in range(NP)]
+        for i in range(16):
+            off = KV * i
+            j0, sh = off >> 5, off & 31
+            if sh + 16 <= 32:
+                u = planes[j0] >> jnp.uint32(sh) if sh else planes[j0]
+            else:
+                u = ((planes[j0] >> jnp.uint32(sh))
+                     | (planes[j0 + 1] << jnp.uint32(32 - sh)))
+            h = (u & M16) * A + B
+            # full VPU byte-sum (one-shot path; the fused kernel moves this
+            # onto the MXU instead)
+            t2 = (h & MPAIR) + ((h >> jnp.uint32(8)) & MPAIR)
+            s4 = (t2 + (t2 >> jnp.uint32(16))) & jnp.uint32(0x7FF)
+            val = ((s4.astype(jnp.int32) - 510).astype(jnp.float32)
+                   * _MAD_INV)
+            o_ref[kt * 16:(kt + 1) * 16, i * wm:(i + 1) * wm] = \
+                val.astype(DDT)
+
+
+@functools.partial(jax.jit, static_argnames=("KV", "m", "k"))
+def tcq1_dequant(tr_pl, KV: int, m: int, k: int):
+    """planar trellis -> W^T (k, m) bf16 in HBM."""
+    from qpalette_tpu.kernels.formats import tcq1_n_planes
+    NP = tcq1_n_planes(KV)
+    kt_total = k // 16
+    tk = next(c for c in (32, 16, 8, 4, 2, 1) if kt_total % c == 0)
+    wm = _pick_width(m // 16, candidates=(128, 64))
+    gk = kt_total // tk
+    gm = (m // 16) // wm
+    out = pl.pallas_call(
+        functools.partial(_tcq1_dequant_kernel, KV=KV, tk=tk, wm=wm, NP=NP),
+        out_shape=jax.ShapeDtypeStruct((k, m), DDT),
+        grid=(gm, gk),
+        in_specs=[pl.BlockSpec((tk, NP * 16, wm), lambda i, j: (j, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((tk * 16, 16 * wm), lambda i, j: (j, i),
+                               memory_space=pltpu.VMEM),
+        compiler_params=_cparams(),
+        interpret=INTERPRET,
+    )(tr_pl)
+    # block column order is (m-row-in-tile, mcol)
+    return (out.reshape(k, gm, 16, wm).transpose(0, 1, 3, 2).reshape(k, m))
+
+
+def _tcq_dequant_kernel(tr_ref, tab_ref, o_ref, *, KV, S, tk, wm,
+                        words_kv=None):
+    _tcq_decode_tiles(tr_ref, tab_ref, o_ref, KV, S, tk, wm,
+                      words_kv=words_kv)
+
+
+def _tcomb_dequant_kernel(tr_ref, tab_ref, o_ref, *, KV1, KV2, S, tk, wm,
+                          gk1):
+    j = pl.program_id(1)
+
+    @pl.when(j < gk1)
+    def _():
+        _tcq_decode_tiles(tr_ref, tab_ref, o_ref, KV1, S, tk, wm,
+                          words_kv=KV1)
+
+    @pl.when(j >= gk1)
+    def _():
+        _tcq_decode_tiles(tr_ref, tab_ref, o_ref, KV2, S, tk, wm,
+                          words_kv=KV2)
+
+
+@functools.partial(jax.jit, static_argnames=("KV", "S", "m", "k"))
+def tcq_dequant(tr_kt, tlut, KV: int, S: int, m: int, k: int):
+    """kernel-format trellis -> W^T (k, m) bf16 (V=2 quantlut_sym)."""
+    kt_total = k // 16
+    tk = next(c for c in (16, 8, 4, 2, 1) if kt_total % c == 0)
+    wm = _pick_width(m // 16, candidates=(256, 128, 64))
+    gk = kt_total // tk
+    gm = (m // 16) // wm
+    tabs = _tile_tables(tlut, S, wm)
+    out = pl.pallas_call(
+        functools.partial(_tcq_dequant_kernel, KV=KV, S=S, tk=tk, wm=wm),
+        out_shape=jax.ShapeDtypeStruct((16, k, m // 16), DDT),
+        grid=(gm, gk),
+        in_specs=[
+            pl.BlockSpec((tk, 4 * KV, wm), lambda i, j: (j, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tabs.shape, lambda i, j: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((16, tk * 16, wm), lambda i, j: (0, j, i),
+                               memory_space=pltpu.VMEM),
+        compiler_params=_cparams(),
+        interpret=INTERPRET,
+    )(tr_kt, tabs)
+    # (v, k, tile-col) -> (k, m): m = tile_col*16 + v; within-tile k-col
+    # permutation (2s+c -> c*8+s) is the inverse of the fused kernel's
+    # activation pre-permutation
+    W = out.transpose(1, 2, 0).reshape(k, m)
+    return (W.reshape(k // 16, 2, 8, m).transpose(0, 2, 1, 3)
+            .reshape(k, m))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("KV1", "KV2", "S", "m", "k"))
+def tcomb_dequant(trc, tlut, KV1: int, KV2: int, S: int, m: int, k: int):
+    kt_total = k // 16
+    half = kt_total // 2
+    tk = next(c for c in (16, 8, 4, 2, 1) if half % c == 0)
+    wm = _pick_width(m // 16, candidates=(256, 128, 64))
+    gk = kt_total // tk
+    gk1 = half // tk
+    gm = (m // 16) // wm
+    tabs = _tile_tables(tlut, S, wm)
+    out = pl.pallas_call(
+        functools.partial(_tcomb_dequant_kernel, KV1=KV1, KV2=KV2, S=S,
+                          tk=tk, wm=wm, gk1=gk1),
+        out_shape=jax.ShapeDtypeStruct((16, k, m // 16), DDT),
+        grid=(gm, gk),
+        in_specs=[
+            pl.BlockSpec((tk, 4 * KV2, wm), lambda i, j: (j, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tabs.shape, lambda i, j: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((16, tk * 16, wm), lambda i, j: (0, j, i),
+                               memory_space=pltpu.VMEM),
+        compiler_params=_cparams(),
+        interpret=INTERPRET,
+    )(trc, tabs)
+    W = out.transpose(1, 2, 0).reshape(k, m)
+    return (W.reshape(k // 16, 2, 8, m).transpose(0, 2, 1, 3)
+            .reshape(k, m))
+
+
+def _vq_dequant_kernel(qw_ref, tab_ref, o_ref, *, bits, vec, kb, kj, bm):
+    mask = jnp.uint32((1 << bits) - 1)
+    g = kb * bits // 256
+    for c_kj in range(kj):
+        wr = qw_ref[:, c_kj * g:(c_kj + 1) * g, :]
+        for v in range(kb // 8):
+            bit = v * bits
+            c, sh = bit // 32, bit % 32
+            lo = wr[:, c, :]
+            if sh == 0:
+                win = lo
+            else:
+                hi = wr[:, c + 1, :] if c + 1 < g else lo
+                win = (lo >> jnp.uint32(sh)) | (
+                    (hi << jnp.uint32(31 - sh)) << jnp.uint32(1))
+            idx = (win & mask).astype(jnp.int32)
+            for comp in range(vec):
+                val = _gather_chunks(tab_ref[comp], idx)
+                r = c_kj * kb * vec + (v * vec + comp) * 8
+                o_ref[r:r + 8, :] = val.astype(DDT)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "vec", "m", "k"))
+def vq_dequant(qw_t, lut, bits: int, vec: int, m: int, k: int):
+    """kernel-format VQ words -> W^T (k, m) bf16."""
+    P = k // vec
+    kb = _pick_kb(P, bits)
+    bm = _pick_width(m)
+    kj = next(c for c in (4, 2, 1)
+              if (P // kb) % c == 0 and c * kb * vec <= 2048)
+    gk = P // (kb * kj)
+    gm = m // bm
+    wpb = kb * bits // 32
+    g = wpb // 8
+    tabs = _tile_tables(lut, bits, bm)
+    out = pl.pallas_call(
+        functools.partial(_vq_dequant_kernel, bits=bits, vec=vec, kb=kb,
+                          kj=kj, bm=bm),
+        out_shape=jax.ShapeDtypeStruct((k, m), DDT),
+        grid=(gm, gk),
+        in_specs=[
+            pl.BlockSpec((8, kj * g, bm), lambda i, j: (0, j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tabs.shape, lambda i, j: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((kj * kb * vec, bm), lambda i, j: (j, i),
+                               memory_space=pltpu.VMEM),
+        compiler_params=_cparams(),
+        interpret=INTERPRET,
+    )(qw_t, tabs)
+    # rows are in the kernel's scratch order (v, comp, s) per kb-block —
+    # invert the vq_x_perm permutation: orig col (blk*kb + v + kb/8*s)*vec+c
+    nblk = k // (kb * vec)
+    return (out.reshape(nblk, kb // 8, vec, 8, m)
+            .transpose(0, 3, 1, 2, 4).reshape(k, m))
+
+
+def dequant_weight_kernelfmt(spec, p, luts):
+    """Kernel-format params -> dense W^T (in, out) bf16 (dequant-only)."""
+    m, n = spec.out_features, spec.in_features
+    if spec.kind == "tcq1":
+        return tcq1_dequant(p["trellis_pl"], spec.KV[0], m, n)
+    if spec.kind == "tcq":
+        return tcq_dequant(p["trellis_kt"], p["clut"], spec.KV[0],
+                           spec.tlut_bits, m, n)
+    if spec.kind == "tcomb":
+        if "trellisc_kt" in p:
+            return tcomb_dequant(p["trellisc_kt"], p["clut"], spec.KV[0],
+                                 spec.KV[1], spec.tlut_bits, m, n)
+        n1, n2 = spec.split
+        w1 = tcq_dequant(p["trellis1_kt"], p["clut"], spec.KV[0],
+                         spec.tlut_bits, m, n1)
+        w2 = tcq_dequant(p["trellis2_kt"], p["clut"], spec.KV[1],
+                         spec.tlut_bits, m, n2)
+        return jnp.concatenate([w1, w2], axis=0)
+    if spec.kind == "comb":
+        m1, m2 = spec.split
+        w1 = tcq_dequant(p["trellis1_kt"], p["clut"], spec.KV[0],
+                         spec.tlut_bits, m1, n)
+        w2 = tcq_dequant(p["trellis2_kt"], p["clut"], spec.KV[1],
+                         spec.tlut_bits, m2, n)
+        return jnp.concatenate([w1, w2], axis=1)
+    if spec.kind == "vq":
+        return vq_dequant(p["qweight_t"], p["clut"], spec.bits, spec.vec,
+                          m, n)
+    raise ValueError(spec.kind)
 
 
 # ---------------------------------------------------------------------------
@@ -540,7 +758,7 @@ def decode_matmul(spec, p, z, luts):
         return tcq_decode_matmul(zb, p["trellis_kt"], p["clut"],
                                  spec.KV[0], spec.tlut_bits, m, n)
     if spec.kind == "tcq1":
-        return tcq1_decode_matmul(zb, p["trellis_kt"], spec.KV[0],
+        return tcq1_decode_matmul(zb, p["trellis_pl"], spec.KV[0],
                                   spec.mode, m, n)
     if spec.kind == "tcomb":
         if "trellisc_kt" in p:  # fused one-kernel path

@@ -176,8 +176,15 @@ def dequant_lut(packed: jax.Array, lut: jax.Array, m: int, k: int,
 
 def dequant_tcq(packed: jax.Array, lut: jax.Array, m: int, k: int,
                 KV: int, v: int = V) -> jax.Array:
-    """TCQ dequant: trellispack -> weights[m, k] (lut[2^L, v] expanded)."""
+    """TCQ dequant: trellispack -> weights[m, k] (lut[2^L, v] expanded).
+
+    Within-tile sequence order: v=2 is m-major (p = 16*row + col, V=2
+    weights per state); v=1 is K-MAJOR (p = 16*col + row) — chosen so the
+    planar kernel layout (kernels/formats.tcq1_planar_weights) maps
+    bitstream-consecutive states to one sublane's k-column group."""
     states = unpack_trellis(packed, KV, v)  # (T, 256//v)
     vals = jnp.take(lut, states, axis=0)  # (T, 256//v, v)
     tiles = vals.reshape(-1, TD, TD)
+    if v == 1:
+        tiles = tiles.transpose(0, 2, 1)  # k-major: p = 16*col + row
     return tiles_to_mat(tiles, m, k)

@@ -46,7 +46,7 @@ def _leaf_pspec(key: str, ndim: int) -> P:
         return P("tp", None)
     if key == "qweight_t":
         return P(None, "tp")
-    if key in ("trellis_kt", "trellis1_kt", "trellis2_kt"):
+    if key in ("trellis_kt", "trellis1_kt", "trellis2_kt", "trellis_pl"):
         return P(None, None, "tp")
     if key == "wscale":
         return P("tp")

@@ -105,7 +105,7 @@ def _leaf_pspec(proj: str, leaf: str, ndim: int, axis: str) -> P:
     row = proj in ROW_PROJS
     if leaf == "wscale":
         return P() if row else P(axis)
-    if leaf in ("trellis_kt", "trellis1_kt", "trellis2_kt"):
+    if leaf in ("trellis_kt", "trellis1_kt", "trellis2_kt", "trellis_pl"):
         # (k/16, words, m/16): row-parallel shards k-tiles, col shards m
         return P(axis, None, None) if row else P(None, None, axis)
     if leaf == "qweight_t":

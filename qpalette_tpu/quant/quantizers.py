@@ -39,14 +39,24 @@ def _ldl_or_zero(H: Optional[jax.Array], n: int, b: int):
     return L.astype(jnp.float32)
 
 
-def _block_to_seqs(E: jax.Array) -> jax.Array:
-    """(m, 16) column block -> (m/16, 256) row-major tile sequences."""
+def _block_to_seqs(E: jax.Array, kmajor: bool = False) -> jax.Array:
+    """(m, 16) column block -> (m/16, 256) tile sequences.
+
+    kmajor=False: p = 16*row + col (V=2 trellis).  kmajor=True:
+    p = 16*col + row (V=1 trellis — matches the planar kernel layout,
+    see ops/packing.dequant_tcq)."""
     m = E.shape[0]
-    return E.reshape(m // TD, TD, TD).reshape(m // TD, TD * TD)
+    t = E.reshape(m // TD, TD, TD)
+    if kmajor:
+        t = t.transpose(0, 2, 1)
+    return t.reshape(m // TD, TD * TD)
 
 
-def _seqs_to_block(hat: jax.Array, m: int) -> jax.Array:
-    return hat.reshape(m // TD, TD, TD).reshape(m, TD)
+def _seqs_to_block(hat: jax.Array, m: int, kmajor: bool = False) -> jax.Array:
+    t = hat.reshape(m // TD, TD, TD)
+    if kmajor:
+        t = t.transpose(0, 2, 1)
+    return t.reshape(m, TD)
 
 
 def _stack_tile_codes(states: jax.Array, m: int, n: int,
@@ -59,11 +69,12 @@ def _stack_tile_codes(states: jax.Array, m: int, n: int,
 def _tcq_core(Wr, H, lut, KV: int, use_hess: bool, v: int = 2):
     m, n = Wr.shape
     L = _ldl_or_zero(H if use_hess else None, n, TD)
+    kmajor = (v == 1)
 
     def qblock(E, _idx):
-        seqs = _block_to_seqs(E)
+        seqs = _block_to_seqs(E, kmajor)
         hat, states = tcq_quantize(seqs, lut, KV, v=v)
-        return _seqs_to_block(hat, m), states
+        return _seqs_to_block(hat, m, kmajor), states
 
     hatW, states = ldlq(Wr, L, qblock, block=TD)
     packed = packing.pack_trellis(_stack_tile_codes(states, m, n, v), KV,

@@ -118,6 +118,7 @@ def _params_from_artifact(art: dict, dtype, impl: str = "xla") -> dict:
         # would dominate bench startup)
         key = jax.random.PRNGKey(int(art["__device_dummy__"]))
         if impl == "pallas":
+            from qpalette_tpu.kernels import formats as kf
             if kind == "tcq":
                 KV = meta["KV"]
                 p["trellis_kt"] = _rand_u32(key, (n // 16, 4 * KV, m // 16))
@@ -125,7 +126,10 @@ def _params_from_artifact(art: dict, dtype, impl: str = "xla") -> dict:
                                         jnp.float32)
             elif kind == "tcq1":
                 KV = meta["KV"]
-                p["trellis_kt"] = _rand_u32(key, (n // 16, 8 * KV, m // 16))
+                # random canonical bitstream, planar-repacked on device
+                # (windows must share bits consistently)
+                tr = _rand_u32(key, ((m // 16) * (n // 16), 8 * KV))
+                p["trellis_pl"] = kf.tcq1_planar_weights(tr, m, n, KV)
             elif kind == "tcomb":
                 # fused one-kernel layout (padded concat of both halves)
                 p["trellisc_kt"] = _rand_u32(
@@ -189,8 +193,8 @@ def _params_from_artifact(art: dict, dtype, impl: str = "xla") -> dict:
                 kf.tcq_kernel_weights(art["trellis"], m, n))
             p["clut"] = tlut_arr()
         elif kind == "tcq1":
-            p["trellis_kt"] = jnp.asarray(
-                kf.tcq_kernel_weights(art["trellis"], m, n))
+            p["trellis_pl"] = kf.tcq1_planar_weights(
+                jnp.asarray(art["trellis"]), m, n, meta["KV"])
         elif kind == "tcomb":
             n1, n2 = meta["in_part"]
             p["trellisc_kt"] = jnp.asarray(kf.tcomb_kernel_weights(

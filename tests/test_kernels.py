@@ -133,8 +133,78 @@ def test_tcq1_kernel_matches_reference():
                             v=1)
     x = jnp.asarray(rng.standard_normal((2, k)).astype(np.float32))
     y_ref = np.asarray(x.astype(jnp.bfloat16).astype(jnp.float32) @ W.T)
-    tr_kt = jnp.asarray(kf.tcq_kernel_weights(words, m, k))
-    y = np.asarray(fused.tcq1_decode_matmul(x.astype(jnp.bfloat16), tr_kt,
+    tr_pl = kf.tcq1_planar_weights(jnp.asarray(words), m, k, KV)
+    y = np.asarray(fused.tcq1_decode_matmul(x.astype(jnp.bfloat16), tr_pl,
                                             KV, "1mad", m, k))
     rel = np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-9)
     assert rel < 0.03, rel
+
+
+# ---------------------------------------------------------------------------
+# dequant-to-HBM kernels (the bs>8 / prefill path) vs the executable spec
+# ---------------------------------------------------------------------------
+
+def test_tcq1_dequant_matches_spec():
+    from qpalette_tpu.ops.codebooks import trellis_lut_arith
+    KV, m, k = 3, 64, 128
+    rng = np.random.default_rng(4)
+    ntiles = (m // 16) * (k // 16)
+    words = rng.integers(0, 1 << 32, (ntiles, 8 * KV), dtype=np.uint32)
+    lut = trellis_lut_arith("1mad")
+    W = np.asarray(packing.dequant_tcq(jnp.asarray(words), jnp.asarray(lut),
+                                       m, k, KV, v=1))
+    tr_pl = kf.tcq1_planar_weights(jnp.asarray(words), m, k, KV)
+    Wt = np.asarray(fused.tcq1_dequant(tr_pl, KV, m, k)).astype(np.float32)
+    assert np.allclose(Wt, W.T, atol=2e-2), np.abs(Wt - W.T).max()
+
+
+def test_tcq_dequant_matches_spec():
+    KV, S, m, k = 4, 9, 64, 128
+    rng = np.random.default_rng(5)
+    ntiles = (m // 16) * (k // 16)
+    words = rng.integers(0, 1 << 32, (ntiles, 4 * KV), dtype=np.uint32)
+    lut = trellis_lut(S)
+    W = np.asarray(packing.dequant_tcq(jnp.asarray(words), jnp.asarray(lut),
+                                       m, k, KV))
+    tr_kt = jnp.asarray(kf.tcq_kernel_weights(words, m, k))
+    Wt = np.asarray(fused.tcq_dequant(tr_kt, jnp.asarray(trellis_tlut(S)),
+                                      KV, S, m, k)).astype(np.float32)
+    assert np.allclose(Wt, W.T, atol=2e-2), np.abs(Wt - W.T).max()
+
+
+def test_vq_dequant_matches_spec():
+    bits, vec, m, k = 4, 2, 128, 512
+    rng = np.random.default_rng(6)
+    P = k // vec
+    idx = rng.integers(0, 1 << bits, (m, P))
+    packed = packing.pack_rows(jnp.asarray(idx), bits)
+    lut = np.asarray(vq_lut(bits, vec, n_samples=1 << 14))
+    W = np.asarray(packing.dequant_lut(packed, jnp.asarray(lut), m, k,
+                                       bits, vec))
+    qw_t = jnp.asarray(kf.vq_kernel_weights(np.asarray(packed), bits, vec,
+                                            m, k))
+    Wt = np.asarray(fused.vq_dequant(qw_t, jnp.asarray(lut), bits, vec,
+                                     m, k)).astype(np.float32)
+    assert np.allclose(Wt, W.T, atol=2e-2), np.abs(Wt - W.T).max()
+
+
+def test_large_batch_falls_back_to_dequant_matmul():
+    """qlinear_apply with >8 rows must produce the same result as the
+    fused path (the reference's bs<=8 / bs>8 split)."""
+    from qpalette_tpu.runtime.qlinear import LinearSpec, qlinear_apply
+    from qpalette_tpu.ops.codebooks import trellis_lut_arith
+    KV, m, k = 3, 64, 128
+    rng = np.random.default_rng(7)
+    ntiles = (m // 16) * (k // 16)
+    words = rng.integers(0, 1 << 32, (ntiles, 8 * KV), dtype=np.uint32)
+    tr_pl = kf.tcq1_planar_weights(jnp.asarray(words), m, k, KV)
+    spec = LinearSpec("tcq1", in_features=k, out_features=m, KV=(KV,),
+                      mode="1mad", impl="pallas")
+    p = {"trellis_pl": tr_pl, "wscale": jnp.ones((m,), jnp.float32)}
+    x_small = jnp.asarray(rng.standard_normal((2, k)).astype(np.float32)
+                          ).astype(jnp.bfloat16)
+    x_big = jnp.concatenate([x_small] * 8, axis=0)  # 16 rows
+    y_small = np.asarray(qlinear_apply(spec, p, x_small).astype(jnp.float32))
+    y_big = np.asarray(qlinear_apply(spec, p, x_big).astype(jnp.float32))
+    assert np.allclose(y_big[:2], y_small, atol=3e-2, rtol=3e-2), \
+        np.abs(y_big[:2] - y_small).max()
