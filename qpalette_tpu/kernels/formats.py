@@ -119,6 +119,37 @@ def tcq1_planar_weights(trellis, m: int, k: int, KV: int):
     return jnp.stack(rows, axis=1)  # (kt, NP*16, mt), row j*16+t
 
 
+def tcq2_planar_weights(trellis, m: int, k: int, KV: int):
+    """canonical (T, 4KV) tile-row-major -> planar (k/16, NP*8, m/16).
+
+    V=2 version of tcq1_planar_weights: a tile's 128 states are ordered
+    s = 16*t + row (t = k-col PAIR = sublane, row = m-row), so row j*8 + t
+    holds the ALIGNED 32-bit window [16*KV*t + 32*j, +32) of the tile's
+    circular 128*KV-bit stream and in-kernel state derivation for m-row i
+    is the constant shift KV*i.  8 sublanes per plane (one vreg covers a
+    whole plane at wm=128).  NP = tcq1_n_planes(KV) (same bound: row t's
+    states span [16KV*t, 16KV*t + 15KV + 16))."""
+    T, W = trellis.shape
+    assert W == 4 * KV
+    mt, kt = m // 16, k // 16
+    assert T == mt * kt
+    NP = tcq1_n_planes(KV)
+    arr = jnp.asarray(trellis).reshape(mt, kt, W).transpose(1, 2, 0)
+    rows = []
+    for j in range(NP):
+        for t in range(8):
+            off = (16 * KV * t + 32 * j) % (128 * KV)
+            w0, sh = off >> 5, off & 31
+            lo = arr[:, w0, :]
+            if sh == 0:
+                rows.append(lo)
+            else:
+                hi = arr[:, (w0 + 1) % W, :]
+                rows.append((lo >> jnp.uint32(sh))
+                            | (hi << jnp.uint32(32 - sh)))
+    return jnp.stack(rows, axis=1)  # (kt, NP*8, mt), row j*8+t
+
+
 def lut_tables(lut: np.ndarray, bits: int) -> np.ndarray:
     """(2^bits, vec) codebook -> (vec, nch, 8, 128) f32 lane-gather tables
     (each 128-entry chunk replicated across the 8 sublanes)."""

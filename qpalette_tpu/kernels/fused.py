@@ -510,6 +510,166 @@ def tcq1_decode_matmul(x, tr_pl, KV: int, mode: str, m: int, k: int):
             .reshape(N, m))
 
 
+def _tcq2_kernel(x4_ref, tr_ref, o_ref, d_ref, *, KV, tk, wm, cc, NP):
+    """V=2 planar dual-mad decode + MXU byte-sum matmul (tcq2).
+
+    Same planar-window trick as _tcq1_kernel but one state per weight PAIR:
+    row j*8+t of a tile holds the aligned window [16*KV*t + 32*j, +32), so
+    16 constant-shift extractions (one per m-row) decode the whole tile —
+    ~2x fewer VPU ops per weight than tcq1.  Decode is two multiplies
+    (h1 = u*A1, h2 = u*A2); the signed-byte sums ride the MXU via int8
+    bitcast with NO xor and NO additive correction (codebooks.decode_dualmad
+    is defined over signed bytes)."""
+    j = pl.program_id(1)
+    M16 = jnp.uint32(0xFFFF)
+    A1, A2 = jnp.uint32(_MAD1_A), jnp.uint32(_MAD2_A)
+
+    def decode_tile(kt):
+        planes = [tr_ref[kt, jj * 8:(jj + 1) * 8, :] for jj in range(NP)]
+        for i in range(16):  # i = m-row within tile
+            off = KV * i
+            j0, sh = off >> 5, off & 31
+            if sh + 16 <= 32:
+                u = planes[j0] >> jnp.uint32(sh) if sh else planes[j0]
+            else:
+                u = ((planes[j0] >> jnp.uint32(sh))
+                     | (planes[j0 + 1] << jnp.uint32(32 - sh)))
+            u = u & M16
+            d_ref[kt * 16:kt * 16 + 8, i * wm:(i + 1) * wm] = u * A1
+            d_ref[kt * 16 + 8:kt * 16 + 16, i * wm:(i + 1) * wm] = u * A2
+
+    x4 = x4_ref[0]  # (N, 4*tk*16)
+    acc = None
+    for c0 in range(0, tk, cc):
+        for kt in range(c0, c0 + cc):
+            decode_tile(kt)
+        h8 = _bytes_as_bf16_signed(d_ref[c0 * 16:(c0 + cc) * 16, :],
+                                   INTERPRET)
+        part = jax.lax.dot_general(
+            x4[:, c0 * 64:(c0 + cc) * 64], h8,
+            (((1,), (0,)), ((), ())), preferred_element_type=ACC)
+        acc = part if acc is None else acc + part
+    acc = acc * _MAD_INV
+
+    @pl.when(j == 0)
+    def _():
+        o_ref[:] = acc
+
+    @pl.when(j != 0)
+    def _():
+        o_ref[:] = o_ref[:] + acc
+
+
+def _bytes_as_bf16_signed(h_chunk, interpret: bool):
+    """(R, C) uint32 -> (4R, C) bf16 of the SIGNED (int8) bytes."""
+    if not interpret:
+        return pltpu.bitcast(h_chunk, jnp.int8).astype(DDT)
+    R, C = h_chunk.shape
+    parts = [(((h_chunk >> jnp.uint32(8 * b)) & jnp.uint32(255))
+              .astype(jnp.int32)) for b in range(4)]
+    parts = [jnp.where(p >= 128, p - 256, p) for p in parts]
+    return jnp.stack(parts, axis=1).reshape(4 * R, C).astype(DDT)
+
+
+def _tcq2_x4(x, gk, tk):
+    """x (N, k) -> (gk, N, 4*tk*16): per 16-col tile, evens repeated 4x
+    then odds repeated 4x — matches the scratch byte-row order (h1 block
+    = even k-cols, h2 block = odd k-cols)."""
+    N = x.shape[0]
+    xp = x.astype(DDT).reshape(N, gk, tk, 8, 2).transpose(1, 0, 2, 4, 3)
+    x4 = jnp.repeat(xp.reshape(gk, N, tk, 16), 4, axis=3)
+    return x4.reshape(gk, N, 4 * tk * 16)
+
+
+@functools.partial(jax.jit, static_argnames=("KV", "m", "k"))
+def tcq2_decode_matmul(x, tr_pl, KV: int, m: int, k: int):
+    """x (N, k); tr_pl (k/16, NP*8, m/16) uint32 planar layout
+    (formats.tcq2_planar_weights).  Returns (N, m) f32 = x @ W^T."""
+    from qpalette_tpu.kernels.formats import tcq1_n_planes
+    N = x.shape[0]
+    NP = tcq1_n_planes(KV)
+    kt_total = k // 16
+    tk = next(c for c in (32, 16, 8, 4, 2, 1) if kt_total % c == 0)
+    wm = _pick_width(m // 16, candidates=(128, 64))
+    gk = kt_total // tk
+    gm = (m // 16) // wm
+    cc = next(c for c in (8, 4, 2, 1) if tk % c == 0)
+    x4 = _tcq2_x4(x, gk, tk)
+    out = pl.pallas_call(
+        functools.partial(_tcq2_kernel, KV=KV, tk=tk, wm=wm, cc=cc, NP=NP),
+        out_shape=jax.ShapeDtypeStruct((N, m), ACC),
+        grid=(gm, gk),
+        in_specs=[
+            pl.BlockSpec((1, N, 4 * tk * 16), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, NP * 8, wm), lambda i, j: (j, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((N, 16 * wm), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((tk * 16, 16 * wm), jnp.uint32)],
+        compiler_params=_cparams(),
+        interpret=INTERPRET,
+    )(x4, tr_pl)
+    # block column order is (m-row-in-tile, mcol)
+    return (out.reshape(N, gm, 16, wm).transpose(0, 1, 3, 2)
+            .reshape(N, m))
+
+
+def _tcq2_dequant_kernel(tr_ref, o_ref, *, KV, tk, wm, NP):
+    M16 = jnp.uint32(0xFFFF)
+    MPAIR = jnp.uint32(0x00FF00FF)
+    XOR = jnp.uint32(0x80808080)
+    A1, A2 = jnp.uint32(_MAD1_A), jnp.uint32(_MAD2_A)
+    for kt in range(tk):
+        planes = [tr_ref[kt, jj * 8:(jj + 1) * 8, :] for jj in range(NP)]
+        for i in range(16):
+            off = KV * i
+            j0, sh = off >> 5, off & 31
+            if sh + 16 <= 32:
+                u = planes[j0] >> jnp.uint32(sh) if sh else planes[j0]
+            else:
+                u = ((planes[j0] >> jnp.uint32(sh))
+                     | (planes[j0 + 1] << jnp.uint32(32 - sh)))
+            u = u & M16
+            for half, A in ((0, A1), (1, A2)):
+                g = (u * A) ^ XOR  # unsigned bytes = signed + 128
+                t2 = (g & MPAIR) + ((g >> jnp.uint32(8)) & MPAIR)
+                s4 = (t2 + (t2 >> jnp.uint32(16))) & jnp.uint32(0x7FF)
+                val = ((s4.astype(jnp.int32) - 512).astype(jnp.float32)
+                       * _MAD_INV)
+                o_ref[kt * 16 + half * 8:kt * 16 + half * 8 + 8,
+                      i * wm:(i + 1) * wm] = val.astype(DDT)
+
+
+@functools.partial(jax.jit, static_argnames=("KV", "m", "k"))
+def tcq2_dequant(tr_pl, KV: int, m: int, k: int):
+    """planar tcq2 trellis -> W^T (k, m) bf16 in HBM."""
+    from qpalette_tpu.kernels.formats import tcq1_n_planes
+    NP = tcq1_n_planes(KV)
+    kt_total = k // 16
+    tk = next(c for c in (32, 16, 8, 4, 2, 1) if kt_total % c == 0)
+    wm = _pick_width(m // 16, candidates=(128, 64))
+    gk = kt_total // tk
+    gm = (m // 16) // wm
+    out = pl.pallas_call(
+        functools.partial(_tcq2_dequant_kernel, KV=KV, tk=tk, wm=wm, NP=NP),
+        out_shape=jax.ShapeDtypeStruct((k, m), DDT),
+        grid=(gm, gk),
+        in_specs=[pl.BlockSpec((tk, NP * 8, wm), lambda i, j: (j, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((tk * 16, 16 * wm), lambda i, j: (j, i),
+                               memory_space=pltpu.VMEM),
+        compiler_params=_cparams(),
+        interpret=INTERPRET,
+    )(tr_pl)
+    # rows within a 16-row tile are (half, t) -> k index 2t + half;
+    # block columns are (m-row-in-tile, mcol)
+    out = (out.reshape(k // 16, 2, 8, gm, 16, wm)
+           .transpose(0, 2, 1, 3, 5, 4).reshape(k, m))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # dequant-to-HBM kernels (reference dequant-only decompress_* variants,
 # tcq-kernels/src/inference.cu:1222-1605 and vq-tensor-kernels

@@ -188,3 +188,16 @@ def dequant_tcq(packed: jax.Array, lut: jax.Array, m: int, k: int,
     if v == 1:
         tiles = tiles.transpose(0, 2, 1)  # k-major: p = 16*col + row
     return tiles_to_mat(tiles, m, k)
+
+
+def dequant_tcq2(packed: jax.Array, lut: jax.Array, m: int, k: int,
+                 KV: int) -> jax.Array:
+    """tcq2 dequant (executable spec): V=2 trellis in PAIRED-K-MAJOR order —
+    state s = 16*t + row covers weights (row, col=2t) and (row, col=2t+1)
+    of its 16x16 tile (quantizers._block_to_seqs_pairk; the layout the
+    tcq2 planar kernel decodes)."""
+    states = unpack_trellis(packed, KV, 2)  # (T, 128)
+    vals = jnp.take(lut, states, axis=0)  # (T, 128, 2)
+    tiles = vals.reshape(-1, TD // 2, TD, 2)  # (T, t, row, c)
+    tiles = tiles.transpose(0, 2, 1, 3).reshape(-1, TD, TD)
+    return tiles_to_mat(tiles, m, k)

@@ -59,6 +59,21 @@ def _seqs_to_block(hat: jax.Array, m: int, kmajor: bool = False) -> jax.Array:
     return t.reshape(m, TD)
 
 
+def _block_to_seqs_pairk(E: jax.Array) -> jax.Array:
+    """(m, 16) column block -> (m/16, 256) in PAIRED-K-MAJOR order:
+    seq position 32*t + 2*row_in_tile + c is weight (row, col=2t+c) —
+    trellis state s = 16*t + row covers two k-adjacent weights, matching
+    the tcq2 planar kernel layout (kernels/formats.tcq2_planar_weights)."""
+    m = E.shape[0]
+    t = E.reshape(m // TD, TD, TD // 2, 2)  # (tile, row, t, c)
+    return t.transpose(0, 2, 1, 3).reshape(m // TD, TD * TD)
+
+
+def _seqs_to_block_pairk(hat: jax.Array, m: int) -> jax.Array:
+    t = hat.reshape(m // TD, TD // 2, TD, 2).transpose(0, 2, 1, 3)
+    return t.reshape(m, TD)
+
+
 def _stack_tile_codes(states: jax.Array, m: int, n: int,
                       v: int = 2) -> jax.Array:
     """ldlq-stacked states (n/16, m/16, 256/v) -> (T, 256/v) row-major."""
@@ -79,6 +94,23 @@ def _tcq_core(Wr, H, lut, KV: int, use_hess: bool, v: int = 2):
     hatW, states = ldlq(Wr, L, qblock, block=TD)
     packed = packing.pack_trellis(_stack_tile_codes(states, m, n, v), KV,
                                   v=v)
+    return hatW, packed
+
+
+@functools.partial(jax.jit, static_argnames=("KV", "use_hess"))
+def _tcq2_core(Wr, H, lut, KV: int, use_hess: bool):
+    """V=2 trellis in paired-k-major order (tcq2 planar kernel layout)."""
+    m, n = Wr.shape
+    L = _ldl_or_zero(H if use_hess else None, n, TD)
+
+    def qblock(E, _idx):
+        seqs = _block_to_seqs_pairk(E)
+        hat, states = tcq_quantize(seqs, lut, KV, v=2)
+        return _seqs_to_block_pairk(hat, m), states
+
+    hatW, states = ldlq(Wr, L, qblock, block=TD)
+    packed = packing.pack_trellis(_stack_tile_codes(states, m, n, 2), KV,
+                                  v=2)
     return hatW, packed
 
 
@@ -163,6 +195,23 @@ def quantize_mat_tcq1(Wr, H, KV: int, mode: str = "1mad",
                              lut, KV, use_hess and H is not None, v=1)
     linear = {
         "kind": "tcq1", "KV": KV, "decode_mode": mode,
+        "trellis": np.asarray(packed),
+        "in_features": Wr.shape[1], "out_features": Wr.shape[0],
+    }
+    return linear, hatW
+
+
+def quantize_mat_tcq2(Wr, H, KV: int, use_hess: bool = False):
+    """V=2 arithmetic trellis (TPU-native 'tcq2'): KV bits per STATE =
+    KV/2 bits per weight (odd KV gives fractional bitrates without comb
+    splits).  Decode = dual-mad signed-byte sums (ops/codebooks.py
+    decode_dualmad); the fused kernel derives one window per weight pair —
+    ~2x the VPU decode rate of tcq1 at equal reference quality."""
+    lut = jnp.asarray(trellis_lut_arith("dualmad"))
+    hatW, packed = _tcq2_core(Wr, H if H is not None else Wr[:1, :1] * 0,
+                              lut, KV, use_hess and H is not None)
+    linear = {
+        "kind": "tcq2", "KV": KV, "decode_mode": "dualmad",
         "trellis": np.asarray(packed),
         "in_features": Wr.shape[1], "out_features": Wr.shape[0],
     }
