@@ -42,8 +42,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-# interpreter mode for CPU tests (conftest sets QPALETTE_INTERPRET=1)
-INTERPRET = os.environ.get("QPALETTE_INTERPRET", "0") == "1"
+def _interpret() -> bool:
+    """Pallas interpret mode, decided PER CALL (at trace time), not at
+    import: forced on via QPALETTE_INTERPRET=1 (CPU test suite), and
+    automatically on whenever the default backend is not a real TPU —
+    Mosaic only compiles for TPU, so the driver's virtual-CPU-device
+    dryrun (xla_force_host_platform_device_count) must interpret."""
+    if os.environ.get("QPALETTE_INTERPRET", "0") == "1":
+        return True
+    return jax.default_backend() != "tpu"
 ACC = jnp.float32
 DDT = jnp.bfloat16  # decoded-weight dtype for the MXU
 
@@ -195,7 +202,7 @@ def vq_decode_matmul(x, qw_t, lut, bits: int, vec: int, m: int, k: int):
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((kj * kb * vec, bm), DDT)],
         compiler_params=_cparams(),
-        interpret=INTERPRET,
+        interpret=_interpret(),
     )(xp, qw_t, tabs)
     return out
 
@@ -298,7 +305,7 @@ def tcq_decode_matmul(x, tr_kt, tlut, KV: int, S: int, m: int, k: int):
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((16, tk * 16, wm), DDT)],
         compiler_params=_cparams(),
-        interpret=INTERPRET,
+        interpret=_interpret(),
     )(xp, tr_kt, tabs)
     # (v, N, tile-row) -> (N, m): weight row = tile_row * 16 + v
     return out.transpose(1, 2, 0).reshape(N, m)
@@ -369,7 +376,7 @@ def tcomb_decode_matmul(x, trc, tlut, KV1: int, KV2: int, S: int, m: int,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((16, tk * 16, wm), DDT)],
         compiler_params=_cparams(),
-        interpret=INTERPRET,
+        interpret=_interpret(),
     )(xp, trc, tabs)
     return out.transpose(1, 2, 0).reshape(N, m)
 
@@ -413,7 +420,8 @@ def _bytes_as_bf16(h_chunk, interpret: bool):
     return jnp.stack(parts, axis=1).reshape(4 * R, C).astype(DDT)
 
 
-def _tcq1_kernel(x4_ref, tr_ref, o_ref, d_ref, *, KV, tk, wm, cc, NP):
+def _tcq1_kernel(x4_ref, tr_ref, o_ref, d_ref, *, KV, tk, wm, cc, NP,
+                 interp):
     """Planar gather-free tcq1 decode + MXU byte-sum matmul.
 
     Weights arrive pre-swizzled (formats.tcq1_planar_weights): row j*16+t of
@@ -450,7 +458,7 @@ def _tcq1_kernel(x4_ref, tr_ref, o_ref, d_ref, *, KV, tk, wm, cc, NP):
     for c0 in range(0, tk, cc):
         for kt in range(c0, c0 + cc):
             decode_tile(kt)
-        h8 = _bytes_as_bf16(d_ref[c0 * 16:(c0 + cc) * 16, :], INTERPRET)
+        h8 = _bytes_as_bf16(d_ref[c0 * 16:(c0 + cc) * 16, :], interp)
         part = jax.lax.dot_general(
             x4[:, c0 * 64:(c0 + cc) * 64], h8,
             (((1,), (0,)), ((), ())), preferred_element_type=ACC)
@@ -489,8 +497,10 @@ def tcq1_decode_matmul(x, tr_pl, KV: int, mode: str, m: int, k: int):
     cc = next(c for c in (8, 4, 2, 1) if tk % c == 0)
     xp = x.astype(DDT).reshape(N, gk, tk * 16).transpose(1, 0, 2)
     x4 = jnp.repeat(xp, 4, axis=2)  # (gk, N, 4*tk*16), element-repeat
+    interp = _interpret()
     out = pl.pallas_call(
-        functools.partial(_tcq1_kernel, KV=KV, tk=tk, wm=wm, cc=cc, NP=NP),
+        functools.partial(_tcq1_kernel, KV=KV, tk=tk, wm=wm, cc=cc, NP=NP,
+                          interp=interp),
         out_shape=jax.ShapeDtypeStruct((N, m), ACC),
         grid=(gm, gk),
         in_specs=[
@@ -503,14 +513,15 @@ def tcq1_decode_matmul(x, tr_pl, KV: int, mode: str, m: int, k: int):
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((tk * 16, 16 * wm), jnp.uint32)],
         compiler_params=_cparams(),
-        interpret=INTERPRET,
+        interpret=_interpret(),
     )(x4, tr_pl)
     # block column order is (v2, mcol); actual m index = tile*16 + v2
     return (out.reshape(N, gm, 16, wm).transpose(0, 1, 3, 2)
             .reshape(N, m))
 
 
-def _tcq2_kernel(x4_ref, tr_ref, o_ref, d_ref, *, KV, tk, wm, cc, NP):
+def _tcq2_kernel(x4_ref, tr_ref, o_ref, d_ref, *, KV, tk, wm, cc, NP,
+                 interp):
     """V=2 planar dual-mad decode + MXU byte-sum matmul (tcq2).
 
     Same planar-window trick as _tcq1_kernel but one state per weight PAIR:
@@ -544,7 +555,7 @@ def _tcq2_kernel(x4_ref, tr_ref, o_ref, d_ref, *, KV, tk, wm, cc, NP):
         for kt in range(c0, c0 + cc):
             decode_tile(kt)
         h8 = _bytes_as_bf16_signed(d_ref[c0 * 16:(c0 + cc) * 16, :],
-                                   INTERPRET)
+                                   interp)
         part = jax.lax.dot_general(
             x4[:, c0 * 64:(c0 + cc) * 64], h8,
             (((1,), (0,)), ((), ())), preferred_element_type=ACC)
@@ -595,8 +606,10 @@ def tcq2_decode_matmul(x, tr_pl, KV: int, m: int, k: int):
     gm = (m // 16) // wm
     cc = next(c for c in (8, 4, 2, 1) if tk % c == 0)
     x4 = _tcq2_x4(x, gk, tk)
+    interp = _interpret()
     out = pl.pallas_call(
-        functools.partial(_tcq2_kernel, KV=KV, tk=tk, wm=wm, cc=cc, NP=NP),
+        functools.partial(_tcq2_kernel, KV=KV, tk=tk, wm=wm, cc=cc, NP=NP,
+                          interp=interp),
         out_shape=jax.ShapeDtypeStruct((N, m), ACC),
         grid=(gm, gk),
         in_specs=[
@@ -609,7 +622,7 @@ def tcq2_decode_matmul(x, tr_pl, KV: int, m: int, k: int):
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((tk * 16, 16 * wm), jnp.uint32)],
         compiler_params=_cparams(),
-        interpret=INTERPRET,
+        interpret=_interpret(),
     )(x4, tr_pl)
     # block column order is (m-row-in-tile, mcol)
     return (out.reshape(N, gm, 16, wm).transpose(0, 1, 3, 2)
@@ -661,7 +674,7 @@ def tcq2_dequant(tr_pl, KV: int, m: int, k: int):
         out_specs=pl.BlockSpec((tk * 16, 16 * wm), lambda i, j: (j, i),
                                memory_space=pltpu.VMEM),
         compiler_params=_cparams(),
-        interpret=INTERPRET,
+        interpret=_interpret(),
     )(tr_pl)
     # rows within a 16-row tile are (half, t) -> k index 2t + half;
     # block columns are (m-row-in-tile, mcol)
@@ -722,7 +735,7 @@ def tcq1_dequant(tr_pl, KV: int, m: int, k: int):
         out_specs=pl.BlockSpec((tk * 16, 16 * wm), lambda i, j: (j, i),
                                memory_space=pltpu.VMEM),
         compiler_params=_cparams(),
-        interpret=INTERPRET,
+        interpret=_interpret(),
     )(tr_pl)
     # block column order is (m-row-in-tile, mcol)
     return (out.reshape(k, gm, 16, wm).transpose(0, 1, 3, 2).reshape(k, m))
@@ -771,7 +784,7 @@ def tcq_dequant(tr_kt, tlut, KV: int, S: int, m: int, k: int):
         out_specs=pl.BlockSpec((16, tk * 16, wm), lambda i, j: (0, j, i),
                                memory_space=pltpu.VMEM),
         compiler_params=_cparams(),
-        interpret=INTERPRET,
+        interpret=_interpret(),
     )(tr_kt, tabs)
     # (v, k, tile-col) -> (k, m): m = tile_col*16 + v; within-tile k-col
     # permutation (2s+c -> c*8+s) is the inverse of the fused kernel's
@@ -806,7 +819,7 @@ def tcomb_dequant(trc, tlut, KV1: int, KV2: int, S: int, m: int, k: int):
         out_specs=pl.BlockSpec((16, tk * 16, wm), lambda i, j: (0, j, i),
                                memory_space=pltpu.VMEM),
         compiler_params=_cparams(),
-        interpret=INTERPRET,
+        interpret=_interpret(),
     )(trc, tabs)
     W = out.transpose(1, 2, 0).reshape(k, m)
     return (W.reshape(k // 16, 2, 8, m).transpose(0, 2, 1, 3)
@@ -862,7 +875,7 @@ def vq_dequant(qw_t, lut, bits: int, vec: int, m: int, k: int):
         out_specs=pl.BlockSpec((kj * kb * vec, bm), lambda i, j: (j, i),
                                memory_space=pltpu.VMEM),
         compiler_params=_cparams(),
-        interpret=INTERPRET,
+        interpret=_interpret(),
     )(qw_t, tabs)
     # rows are in the kernel's scratch order (v, comp, s) per kb-block —
     # invert the vq_x_perm permutation: orig col (blk*kb + v + kb/8*s)*vec+c
