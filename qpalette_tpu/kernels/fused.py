@@ -889,6 +889,8 @@ def dequant_weight_kernelfmt(spec, p, luts):
     m, n = spec.out_features, spec.in_features
     if spec.kind == "tcq1":
         return tcq1_dequant(p["trellis_pl"], spec.KV[0], m, n)
+    if spec.kind == "tcq2":
+        return tcq2_dequant(p["trellis_pl"], spec.KV[0], m, n)
     if spec.kind == "tcq":
         return tcq_dequant(p["trellis_kt"], p["clut"], spec.KV[0],
                            spec.tlut_bits, m, n)
@@ -933,6 +935,8 @@ def decode_matmul(spec, p, z, luts):
     if spec.kind == "tcq1":
         return tcq1_decode_matmul(zb, p["trellis_pl"], spec.KV[0],
                                   spec.mode, m, n)
+    if spec.kind == "tcq2":
+        return tcq2_decode_matmul(zb, p["trellis_pl"], spec.KV[0], m, n)
     if spec.kind == "tcomb":
         if "trellisc_kt" in p:  # fused one-kernel path
             return tcomb_decode_matmul(zb, p["trellisc_kt"], p["clut"],

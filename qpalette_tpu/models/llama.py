@@ -146,25 +146,99 @@ def _rotate_in(x: jax.Array, su: jax.Array, blocks: int = 1) -> jax.Array:
     return hadamard_transform_t(x * su, blocks=blocks).astype(x.dtype)
 
 
-def _attention(q, k, v, mask, cfg: LlamaConfig):
-    """q (B,S,h,d), k/v (B,T,hk,d); mask (S,T) additive."""
+_FLASH_MIN_CELLS = 1 << 22  # S*T above this -> blockwise attention
+
+
+def _attention(q, k, v, offset, cfg: LlamaConfig):
+    """q (B,S,h,d), k/v (B,T,hk,d); offset = global position of query 0
+    (scalar, or (B,) per-row for continuous batching).
+
+    Grouped-head einsums throughout (no jnp.repeat of KV).  Large S*T
+    (long-context prefill / ppl eval) takes the blockwise flash path —
+    the reference's plain SDPA (incoherent_linear.py:188-195) would
+    materialize (B,h,S,T) f32 = 8.6 GB/layer at ctx 8192 (SURVEY §5.7)."""
     B, S, H, D = q.shape
-    rep = cfg.num_heads // cfg.num_kv_heads
-    k = jnp.repeat(k, rep, axis=2)
-    v = jnp.repeat(v, rep, axis=2)
-    qf = q.astype(jnp.float32) * (D ** -0.5)
-    logits = jnp.einsum("bshd,bthd->bhst", qf, k.astype(jnp.float32))
+    T = k.shape[1]
+    hk = cfg.num_kv_heads
+    g = H // hk
+    if S * T > _FLASH_MIN_CELLS:
+        return _attention_flash(q, k, v, offset, cfg)
+    qf = (q.astype(jnp.float32) * (D ** -0.5)).reshape(B, S, hk, g, D)
+    logits = jnp.einsum("bskgd,btkd->bkgst", qf, k.astype(jnp.float32))
+    mask = _causal_mask(S, T, offset)
     if mask.ndim == 2:
-        logits = logits + mask[None, None, :, :]
+        logits = logits + mask[None, None, None, :, :]
     else:  # per-row mask (B, S, T)
-        logits = logits + mask[:, None, :, :]
+        logits = logits + mask[:, None, None, :, :]
     p = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhst,bthd->bshd", p, v.astype(jnp.float32))
+    out = jnp.einsum("bkgst,btkd->bskgd", p, v.astype(jnp.float32))
+    return out.reshape(B, S, H * D).astype(q.dtype)
+
+
+def _attention_flash(q, k, v, offset, cfg: LlamaConfig,
+                     qc: int = 512, tc: int = 512):
+    """Blockwise softmax attention (flash-style): query chunks in an outer
+    python loop (static — causality prunes whole KV chunks), KV chunks in
+    an inner lax.scan carrying the running (max, denom, acc).  Peak live
+    logits are (B, qc, hk, g, tc) f32 instead of (B, H, S, T)."""
+    B, S, H, D = q.shape
+    T = k.shape[1]
+    hk = cfg.num_kv_heads
+    g = H // hk
+    qc = next(c for c in (qc, 256, 128, 64, 32, 16, 8, 4, 2, 1)
+              if S % c == 0)
+    tc = next(c for c in (tc, 256, 128, 64, 32, 16, 8, 4, 2, 1)
+              if T % c == 0)
+    static_off = isinstance(offset, int)
+    qf = (q.astype(jnp.float32) * (D ** -0.5)).reshape(B, S, hk, g, D)
+    kc = k.reshape(B, T // tc, tc, hk, D)
+    vc = v.reshape(B, T // tc, tc, hk, D)
+    NEG = jnp.float32(-1e30)
+
+    outs = []
+    for qi in range(S // qc):
+        qb = qf[:, qi * qc:(qi + 1) * qc]  # (B, qc, hk, g, D)
+        qpos = jnp.arange(qc) + qi * qc + offset  # (qc,) or (B, qc)
+        if static_off:
+            # causal: only KV chunks that intersect [0, q_end] matter
+            n_kv = min(T // tc, (qi * qc + qc + offset + tc - 1) // tc)
+        else:
+            n_kv = T // tc
+
+        def step(carry, it):
+            m, l, acc = carry
+            kb, vb, ti = it  # (B, tc, hk, D), (B, tc, hk, D), scalar
+            lg = jnp.einsum("bskgd,btkd->bskgt", qb,
+                            kb.astype(jnp.float32))  # (B, qc, hk, g, tc)
+            kpos = ti * tc + jnp.arange(tc)
+            if jnp.ndim(qpos) == 1:
+                msk = kpos[None, :] <= qpos[:, None]  # (qc, tc)
+                lg = jnp.where(msk[None, :, None, None, :], lg, NEG)
+            else:
+                msk = kpos[None, None, :] <= qpos[:, :, None]  # (B, qc, tc)
+                lg = jnp.where(msk[:, :, None, None, :], lg, NEG)
+            mb = jnp.maximum(m, jnp.max(lg, axis=-1))
+            p = jnp.exp(lg - mb[..., None])
+            alpha = jnp.exp(m - mb)
+            l2 = l * alpha + jnp.sum(p, axis=-1)
+            acc2 = (acc * alpha[..., None]
+                    + jnp.einsum("bskgt,btkd->bskgd", p,
+                                 vb.astype(jnp.float32)))
+            return (mb, l2, acc2), None
+
+        init = (jnp.full((B, qc, hk, g), NEG, jnp.float32),
+                jnp.zeros((B, qc, hk, g), jnp.float32),
+                jnp.zeros((B, qc, hk, g, D), jnp.float32))
+        (m, l, acc), _ = jax.lax.scan(
+            step, init, (kc[:, :n_kv].swapaxes(0, 1),
+                         vc[:, :n_kv].swapaxes(0, 1), jnp.arange(n_kv)))
+        outs.append(acc / jnp.maximum(l[..., None], 1e-30))
+    out = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
     return out.reshape(B, S, H * D).astype(q.dtype)
 
 
 def attn_forward(spec: AttnSpec, cfg: LlamaConfig, p: dict, x: jax.Array,
-                 cos, sin, kv_cache=None, cache_pos=None, mask=None,
+                 cos, sin, kv_cache=None, cache_pos=None, offset=0,
                  luts=None, tp_axis=None):
     """x (B, S, hidden).  Returns (out, new_kv) where kv is (k, v) each
     (B, T, hk, d).
@@ -249,7 +323,7 @@ def attn_forward(spec: AttnSpec, cfg: LlamaConfig, p: dict, x: jax.Array,
     else:
         k_full, v_full, new_kv = k, v, (k, v)
 
-    att = _attention(q, k_full, v_full, mask, cfg)
+    att = _attention(q, k_full, v_full, offset, cfg)
     qw = att.shape[-1]  # heads*head_dim (local width under tp)
     if rotated:
         zo = _rotate_in(att.reshape(-1, qw), p["su_o"],
@@ -314,18 +388,11 @@ def forward(spec: ModelSpec, params: Params, tokens: jax.Array,
     cfg = spec.config
     B, S = tokens.shape
     x = jnp.take(params["embed"], tokens, axis=0).astype(cfg.dtype)
-    if kv_caches is not None:
-        T = kv_caches[0][0].shape[1]
-        offset = cache_pos
+    offset = cache_pos if kv_caches is not None else 0
+    if jnp.ndim(offset) == 1:
+        pos = jnp.arange(S)[None, :] + offset[:, None]
     else:
-        T = S
-        offset = 0
-    mask = _causal_mask(S, T, offset)
-    off = cache_pos if kv_caches is not None else 0
-    if jnp.ndim(off) == 1:
-        pos = jnp.arange(S)[None, :] + off[:, None]
-    else:
-        pos = jnp.arange(S)[None, :] + off
+        pos = jnp.arange(S)[None, :] + offset
     cos, sin = rope_tables(pos, cfg.head_dim, cfg.rope_theta)
 
     luts = params.get("luts", {})
@@ -336,7 +403,7 @@ def forward(spec: ModelSpec, params: Params, tokens: jax.Array,
         a, kv = attn_forward(aspec, cfg, lp, h, cos, sin,
                              kv_cache=None if kv_caches is None
                              else kv_caches[li],
-                             cache_pos=cache_pos, mask=mask, luts=luts,
+                             cache_pos=cache_pos, offset=offset, luts=luts,
                              tp_axis=spec.tp_axis)
         x = x + a
         h = rms_norm(x, lp["ln_mlp"], cfg.rms_eps)

@@ -64,6 +64,12 @@ def quantizer_proxy_err(qstr: str, size: int = 4096, seed: int = 0) -> float:
         _, hat = quantizers.quantize_mat_tcq1(Wr * (s / cbr), None,
                                               spec.KV[0], mode=mode)
         hat = hat * (cbr / s)
+    elif spec.family == "tcq2":
+        from qpalette_tpu.ops.codebooks import trellis_lut_arith, lut_rms
+        cbr = lut_rms(trellis_lut_arith("dualmad"))
+        _, hat = quantizers.quantize_mat_tcq2(Wr * (s / cbr), None,
+                                              spec.KV[0])
+        hat = hat * (cbr / s)
     elif spec.family == "ldlq":
         _, hat = quantizers.quantize_mat_vq(Wr * s, None, spec.bits,
                                             spec.vec)

@@ -43,7 +43,7 @@ def fit_family_model(samples: List[Tuple[str, float, float]]):
 
 
 def family_of(qstr: str) -> str:
-    if qstr.startswith("tcq1"):
+    if qstr.startswith(("tcq1", "tcq2")):
         return "tcq1"  # arithmetic decode: different (faster) fit
     if qstr.startswith(("tcq", "tcomb", "comb")):
         return "tcq"
@@ -64,7 +64,10 @@ def kernel_calls(group: str, qstr: str) -> int:
 def build_lat_table(cfg: LlamaConfig, qlist: List[str],
                     family_params: Dict[str, tuple],
                     constant: float = 1.0e-3,
-                    impl_flags=("False",)) -> Dict[str, float]:
+                    impl_flags=("False", "True")) -> Dict[str, float]:
+    # both impl flags by default: solve_lat_constrained(use_impl_choice=True)
+    # looks up `_True` keys, so a single-flag table silently degenerates the
+    # --use_cc path (round-1 VERDICT weak #7)
     groups = list("qkvougd") + list(MERGE_GROUPS)
     table = {"constant": constant, "__source__": "model"}
     for g in groups:

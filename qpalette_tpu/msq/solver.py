@@ -46,6 +46,10 @@ QDICT_LAT = dict(QDICT_MEM, **{
     # TPU-native gather-free trellis (arithmetic decode) — the schemes the
     # latency-aware solver can pick for speed on TPU
     f"tcq1_{b}_none_0.9": float(b) for b in range(2, 6)
+}, **{
+    # V=2 arithmetic trellis: KV/2 bits/weight, half the VPU decode work of
+    # tcq1 and fractional bitrates at odd KV
+    f"tcq2_{b}_none_0.9": b / 2 for b in range(4, 11)
 })
 
 SIMPLE2KEY = {

@@ -158,9 +158,10 @@ def decode_2mad(x: np.ndarray) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def trellis_lut_arith(mode: str) -> np.ndarray:
-    """(2^16, 1) state->value table for the arithmetic decode modes
-    (used by the host-side Viterbi/spec decoders; the TPU kernel computes
-    the same function inline)."""
+    """State->value table for the arithmetic decode modes: (2^16, 1) for
+    the V=1 modes (1mad / 2mad), (2^16, 2) for dualmad (V=2 — two weights
+    per state).  Used by the host-side Viterbi/spec decoders; the TPU
+    kernel computes the same function inline."""
     s = np.arange(1 << L, dtype=np.uint64)
     if mode == "1mad":
         v = decode_1mad(s)

@@ -34,6 +34,31 @@ def regularize_h(H: jax.Array, sigma_reg: float = 0.01) -> jax.Array:
     return Hn * diagmean
 
 
+def _cholesky_damped(H: jax.Array) -> jax.Array:
+    """Cholesky with escalating diagonal dampening on failure.
+
+    Near-singular calibration Hessians make plain Cholesky return NaNs
+    (reference math_utils.py:19-23 returns None; nuq_op.py:298-314 retries
+    with growing dampening).  A lax.while_loop retries only when needed so
+    the PD common case pays one factorization."""
+    n = H.shape[0]
+    diagmean = jnp.mean(jnp.diagonal(H))
+    eye = jnp.eye(n, dtype=H.dtype)
+    sigmas = jnp.asarray([1e-4, 1e-3, 1e-2, 1e-1, 1.0], H.dtype)
+
+    def cond(state):
+        C, i = state
+        return jnp.isnan(jnp.sum(C)) & (i < sigmas.shape[0])
+
+    def body(state):
+        _, i = state
+        return (jnp.linalg.cholesky(H + sigmas[i] * diagmean * eye), i + 1)
+
+    C, _ = jax.lax.while_loop(cond, body,
+                              (jnp.linalg.cholesky(H), jnp.int32(0)))
+    return C
+
+
 def block_ldl(H: jax.Array, b: int):
     """H = L D Lᵀ with unit block-diagonal L; returns (L_strict, D).
 
@@ -43,7 +68,7 @@ def block_ldl(H: jax.Array, b: int):
     n = H.shape[0]
     assert n % b == 0
     m = n // b
-    C = jnp.linalg.cholesky(H)  # lower, (n, n)
+    C = _cholesky_damped(H)  # lower, (n, n)
     # diagonal b×b blocks of C
     Cb = C.reshape(m, b, m, b)
     DL = Cb[jnp.arange(m), :, jnp.arange(m), :]  # (m, b, b), lower-tri

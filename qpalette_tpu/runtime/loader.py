@@ -85,8 +85,8 @@ def _spec_from_meta(meta: dict, impl: str) -> LinearSpec:
     if kind == "tcq":
         return LinearSpec("tcq", KV=(meta["KV"],),
                           tlut_bits=meta["tlut_bits"], **common)
-    if kind == "tcq1":
-        return LinearSpec("tcq1", KV=(meta["KV"],),
+    if kind in ("tcq1", "tcq2"):
+        return LinearSpec(kind, KV=(meta["KV"],),
                           mode=meta["decode_mode"], **common)
     if kind == "tcomb":
         return LinearSpec("tcomb", KV=(meta["KV1"], meta["KV2"]),
@@ -130,6 +130,10 @@ def _params_from_artifact(art: dict, dtype, impl: str = "xla") -> dict:
                 # (windows must share bits consistently)
                 tr = _rand_u32(key, ((m // 16) * (n // 16), 8 * KV))
                 p["trellis_pl"] = kf.tcq1_planar_weights(tr, m, n, KV)
+            elif kind == "tcq2":
+                KV = meta["KV"]
+                tr = _rand_u32(key, ((m // 16) * (n // 16), 4 * KV))
+                p["trellis_pl"] = kf.tcq2_planar_weights(tr, m, n, KV)
             elif kind == "tcomb":
                 # fused one-kernel layout (padded concat of both halves)
                 p["trellisc_kt"] = _rand_u32(
@@ -160,6 +164,9 @@ def _params_from_artifact(art: dict, dtype, impl: str = "xla") -> dict:
         elif kind == "tcq1":
             T = (m // 16) * (n // 16)
             p["trellis"] = _rand_u32(key, (T, 8 * meta["KV"]))
+        elif kind == "tcq2":
+            T = (m // 16) * (n // 16)
+            p["trellis"] = _rand_u32(key, (T, 4 * meta["KV"]))
         elif kind == "tcomb":
             n1, n2 = meta["in_part"]
             k1, k2 = jax.random.split(key)
@@ -195,6 +202,9 @@ def _params_from_artifact(art: dict, dtype, impl: str = "xla") -> dict:
         elif kind == "tcq1":
             p["trellis_pl"] = kf.tcq1_planar_weights(
                 jnp.asarray(art["trellis"]), m, n, meta["KV"])
+        elif kind == "tcq2":
+            p["trellis_pl"] = kf.tcq2_planar_weights(
+                jnp.asarray(art["trellis"]), m, n, meta["KV"])
         elif kind == "tcomb":
             n1, n2 = meta["in_part"]
             p["trellisc_kt"] = jnp.asarray(kf.tcomb_kernel_weights(
@@ -220,7 +230,7 @@ def _params_from_artifact(art: dict, dtype, impl: str = "xla") -> dict:
     if kind == "dense_rot":
         p["w"] = jnp.asarray(art["w"], dtype)
         return p
-    if kind == "tcq":
+    if kind in ("tcq", "tcq1", "tcq2"):
         p["trellis"] = jnp.asarray(art["trellis"])
     elif kind in ("tcomb", "comb"):
         p["trellis1"] = jnp.asarray(art["trellis1"])
@@ -261,6 +271,13 @@ def merge_artifacts(arts: list) -> dict:
         out["trellis"] = np.concatenate([a["trellis"] for a in arts], axis=0)
         if arts[0].get("tlut") is not None:
             out["tlut"] = arts[0]["tlut"]
+    elif kind in ("tcq1", "tcq2"):
+        # same tile-row-major concat as tcq: trellis rows are (m/16)*(n/16)
+        # tiles ordered m-major, so stacking artifacts stacks output rows
+        assert all(a["meta"]["KV"] == m0["KV"] for a in arts)
+        assert all(a["meta"]["decode_mode"] == m0["decode_mode"]
+                   for a in arts)
+        out["trellis"] = np.concatenate([a["trellis"] for a in arts], axis=0)
     elif kind == "tcomb":
         assert all(a["meta"]["KV1"] == m0["KV1"]
                    and a["meta"]["KV2"] == m0["KV2"] for a in arts)
@@ -278,6 +295,10 @@ def merge_artifacts(arts: list) -> dict:
             out["lut"] = arts[0]["lut"]
         out["qweight"] = np.concatenate([a["qweight"] for a in arts], axis=0)
     else:
+        # output-split 'comb' merging would interleave the two bitrate
+        # segments of each artifact — the reference's CombLinearTCQ has no
+        # merge_infos either (only the input-split CombtLinearTCQ does,
+        # comb_linear.py:291-320)
         raise ValueError(f"merge not supported for scheme {kind!r}")
     return out
 
@@ -312,6 +333,10 @@ def dummy_artifact(qstr: str, shape, seed: int = 0) -> dict:
                        "KV": spec.KV[0],
                        "decode_mode": "1mad" if spec.family == "tcq1"
                        else "2mad",
+                       "in_features": n, "out_features": m}
+    elif spec.family == "tcq2":
+        art["meta"] = {"kind": "tcq2", "quantizer_str": qstr,
+                       "KV": spec.KV[0], "decode_mode": "dualmad",
                        "in_features": n, "out_features": m}
     elif spec.family in ("ldlq", "sq", "vq2"):
         bits, vec = spec.bits, spec.vec
@@ -378,12 +403,6 @@ def build_quantized_model(cfg: LlamaConfig, qdict, merge_info=None,
             qs, simt = v
             return qs, impl
         return v, impl
-
-    def dense_w(i, key):
-        if dense_params is None:
-            return None
-        return dense_params["layers"][i][key.split(".")[1][:-5]
-                                         if False else key]
 
     layers_params = []
     layer_specs = []
@@ -468,7 +487,7 @@ def build_quantized_model(cfg: LlamaConfig, qdict, merge_info=None,
         for a in arts.values():
             if a["meta"]["kind"] in ("tcq", "tcomb", "comb"):
                 tlut_bits_used.add(a["meta"]["tlut_bits"])
-            elif a["meta"]["kind"] == "tcq1":
+            elif a["meta"]["kind"] in ("tcq1", "tcq2"):
                 mad_modes.add(a["meta"]["decode_mode"])
 
         if dense_params is not None:

@@ -56,6 +56,9 @@ def dequant_weight(spec: LinearSpec, p: dict, luts: dict) -> jax.Array:
         lut = luts[f"mad_{spec.mode}"]
         return packing.dequant_tcq(p["trellis"], lut, m, n, spec.KV[0],
                                    v=1)
+    if spec.kind == "tcq2":
+        return packing.dequant_tcq2(p["trellis"], luts["mad_dualmad"],
+                                    m, n, spec.KV[0])
     if spec.kind == "tcomb":
         lut = luts[spec.tcq_lut_key()]
         n1, n2 = spec.split

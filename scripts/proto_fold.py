@@ -1,0 +1,259 @@
+#!/usr/bin/env python
+"""Prototype: tcq1 planar kernel variants trading VPU fold work against
+MXU streaming width (the round-2 perf sprint).
+
+The shipped kernel (fused.tcq1_decode_matmul) stores h = u*A+B as uint32
+and bitcasts to int8, so the MXU streams FOUR bf16 entries per weight
+(E=4).  If the MXU weight-load rate at N<=8 is the binding constraint,
+folding bytes on the VPU before the dot trades cheap VPU adds for MXU
+width:
+
+  cur     E=4  store h^0x80808080, bitcast i8 -> bf16, dot vs repeat(x,4)
+  f16     E=2  store t2 = pairwise byte sums (two u16 in one u32), bitcast
+               i16, subtract 256 (exact bf16 range [-256,254]), dot vs
+               repeat(x,2)
+  f32     E=1  full 4-byte sum per weight, PACK two k-rows' sums into one
+               u32, bitcast i16, subtract 510, dot vs x (pair-permuted)
+  i8      E=4i dot int8 x int8 -> int32 (native MXU int8): no bf16
+               convert at all; x pre-quantized to int8 outside
+  i8f16   E=2i fold16 but int8: t2 in [-256,254] doesn't fit i8 -- skipped
+  tcq2 variants: same folds at one window per weight PAIR (decode halved)
+
+Each variant is checked against the executable spec, then slope-timed at
+the 8B model shapes.  Also times dot-only / decode-only ablations per E to
+locate the binding unit.
+"""
+import functools
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, "/root/repo")
+from qpalette_tpu.kernels.fused import (_cparams, _pick_width, DDT, ACC,
+                                        _MAD1_A, _MAD1_B, _MAD2_A, _MAD_INV,
+                                        tcq1_decode_matmul)
+from qpalette_tpu.kernels import formats as kf
+from qpalette_tpu.ops import packing
+
+M16 = None  # set in kernels
+
+
+def _extract(planes, KV, i):
+    off = KV * i
+    j0, sh = off >> 5, off & 31
+    if sh + 16 <= 32:
+        u = planes[j0] >> jnp.uint32(sh) if sh else planes[j0]
+    else:
+        u = ((planes[j0] >> jnp.uint32(sh))
+             | (planes[j0 + 1] << jnp.uint32(32 - sh)))
+    return u & jnp.uint32(0xFFFF)
+
+
+def _kernel(x_ref, tr_ref, o_ref, d_ref, *, KV, tk, wm, cc, NP, variant,
+            abl):
+    j = pl.program_id(1)
+    XOR = jnp.uint32(0x80808080)
+    MPAIR = jnp.uint32(0x00FF00FF)
+    A, B = jnp.uint32(_MAD1_A), jnp.uint32(_MAD1_B)
+
+    def decode_tile(kt):
+        planes = [tr_ref[kt, jj * 16:(jj + 1) * 16, :] for jj in range(NP)]
+        for i in range(16):
+            u = _extract(planes, KV, i)
+            h = u * A + B
+            if variant in ("cur", "i8"):
+                d_ref[kt * 16:(kt + 1) * 16, i * wm:(i + 1) * wm] = h ^ XOR
+            elif variant == "f16":
+                t2 = (h & MPAIR) + ((h >> jnp.uint32(8)) & MPAIR)
+                d_ref[kt * 16:(kt + 1) * 16, i * wm:(i + 1) * wm] = t2
+            elif variant == "f32":
+                t2 = (h & MPAIR) + ((h >> jnp.uint32(8)) & MPAIR)
+                s4 = t2 + (t2 >> jnp.uint32(16))  # low16 = 4-byte sum
+                lo = s4[:8, :] & jnp.uint32(0xFFFF)
+                hi = s4[8:, :] << jnp.uint32(16)
+                d_ref[kt * 8:(kt + 1) * 8, i * wm:(i + 1) * wm] = lo | hi
+
+    x = x_ref[0]
+    rows = 8 if variant == "f32" else 16
+    kw = {"cur": 64, "i8": 64, "f16": 32, "f32": 16}[variant]
+    acc = None
+    if abl == "deconly":
+        for kt in range(tk):
+            decode_tile(kt)
+        acc = jnp.zeros(o_ref.shape[-2:], o_ref.dtype) + (
+            d_ref[0, 0].astype(o_ref.dtype) * 0)
+    else:
+        for c0 in range(0, tk, cc):
+            if abl == "dotonly":
+                if c0 == 0:
+                    decode_tile(0)
+            else:
+                for kt in range(c0, c0 + cc):
+                    decode_tile(kt)
+            chunk = d_ref[c0 * rows:(c0 + cc) * rows, :]
+            if variant == "cur":
+                hmat = pltpu.bitcast(chunk, jnp.int8).astype(DDT)
+            elif variant == "i8":
+                hmat = pltpu.bitcast(chunk, jnp.int8)
+            elif variant == "f16":
+                hmat = (pltpu.bitcast(chunk, jnp.int16)
+                        - jnp.int16(256)).astype(DDT)
+            elif variant == "f32":
+                hmat = (pltpu.bitcast(chunk, jnp.int16)
+                        - jnp.int16(510)).astype(DDT)
+            part = jax.lax.dot_general(
+                x[:, c0 * kw:(c0 + cc) * kw], hmat,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=o_ref.dtype)
+            acc = part if acc is None else acc + part
+
+    @pl.when(j == 0)
+    def _():
+        o_ref[:] = acc
+
+    @pl.when(j != 0)
+    def _():
+        o_ref[:] = o_ref[:] + acc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("KV", "m", "k", "variant", "abl"))
+def run(x, tr_pl, KV, m, k, variant="cur", abl="full"):
+    N = x.shape[0]
+    NP = kf.tcq1_n_planes(KV)
+    kt_total = k // 16
+    tk = next(c for c in (32, 16, 8, 4, 2, 1) if kt_total % c == 0)
+    wm = _pick_width(m // 16, candidates=(128, 64))
+    gk = kt_total // tk
+    gm = (m // 16) // wm
+    cc = next(c for c in (8, 4, 2, 1) if tk % c == 0)
+
+    rep = {"cur": 4, "i8": 4, "f16": 2, "f32": 1}[variant]
+    if variant == "f32":
+        xp = (x.reshape(N, gk, tk, 2, 8).transpose(1, 0, 2, 4, 3)
+              .reshape(gk, N, tk * 16))
+    else:
+        xp = x.reshape(N, gk, tk * 16).transpose(1, 0, 2)
+        if rep > 1:
+            xp = jnp.repeat(xp, rep, axis=2)
+    if variant == "i8":
+        sx = jnp.max(jnp.abs(xp)).astype(jnp.float32) / 127.0
+        xp = jnp.round(xp.astype(jnp.float32) / sx).astype(jnp.int8)
+        odtype = jnp.int32
+    else:
+        xp = xp.astype(DDT)
+        odtype = ACC
+    rows = 8 if variant == "f32" else 16
+    out = pl.pallas_call(
+        functools.partial(_kernel, KV=KV, tk=tk, wm=wm, cc=cc, NP=NP,
+                          variant=variant, abl=abl),
+        out_shape=jax.ShapeDtypeStruct((N, m), odtype),
+        grid=(gm, gk),
+        in_specs=[
+            pl.BlockSpec((1, N, rep * tk * 16), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, NP * 16, wm), lambda i, j: (j, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((N, 16 * wm), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((tk * rows, 16 * wm), jnp.uint32)],
+        compiler_params=_cparams(),
+    )(xp, tr_pl)
+    out = out.astype(jnp.float32)
+    if variant == "i8":
+        out = out * sx
+    if variant in ("cur", "i8"):
+        sumx = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
+        out = (out + 2.0 * sumx) * _MAD_INV
+    elif variant == "f16":
+        sumx = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
+        out = (out + 2.0 * sumx) * _MAD_INV
+    else:
+        out = out * _MAD_INV
+    return (out.reshape(N, gm, 16, wm).transpose(0, 1, 3, 2).reshape(N, m))
+
+
+REPS_LO, REPS_HI = 40, 240
+
+
+def timeit(fn, *arrs):
+    def mkloop(reps):
+        def loop(x, *rest):
+            def it(carry, _):
+                xx, acc = carry
+                y = fn(xx, *rest)
+                xx = (xx * 0.999
+                      + jnp.sum(y).astype(xx.dtype) * 1e-20).astype(xx.dtype)
+                return (xx, acc + jnp.sum(y).astype(jnp.float32)), None
+            (xf, acc), _ = jax.lax.scan(it, (x, jnp.float32(0)), None,
+                                        length=reps)
+            return acc
+        return jax.jit(loop)
+
+    ts = {}
+    for reps in (REPS_LO, REPS_HI):
+        f = mkloop(reps)
+        r = f(*arrs)
+        np.asarray(jax.device_get(r))
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = f(*arrs)
+            np.asarray(jax.device_get(r))
+            best = min(best, time.perf_counter() - t0)
+        ts[reps] = best
+    return (ts[REPS_HI] - ts[REPS_LO]) / (REPS_HI - REPS_LO) * 1e6
+
+
+def main():
+    KV = 3
+    key = jax.random.PRNGKey(0)
+    # correctness first (small shape, vs production kernel)
+    m, k = 1024, 2048
+    ntiles = (m // 16) * (k // 16)
+    words = jax.random.randint(key, (ntiles, 8 * KV), 0, 2**31 - 1,
+                               jnp.int32).astype(jnp.uint32)
+    tr_pl = kf.tcq1_planar_weights(words, m, k, KV)
+    x = jax.random.normal(key, (1, k), jnp.float32).astype(jnp.bfloat16)
+    y_ref = np.asarray(tcq1_decode_matmul(x, tr_pl, KV, "1mad", m, k))
+    scale = np.abs(y_ref).max() + 1e-9
+    for v in ("cur", "f16", "f32", "i8"):
+        try:
+            y = np.asarray(run(x, tr_pl, KV, m, k, v))
+            rel = np.abs(y - y_ref).max() / scale
+            print(f"variant {v:5s} max-rel-err vs prod kernel: {rel:.5f}")
+        except Exception as e:
+            print(f"variant {v:5s} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:200]}")
+
+    for (m, k) in [(4096, 4096), (28672, 4096)]:
+        ntiles = (m // 16) * (k // 16)
+        words = jax.random.randint(key, (ntiles, 8 * KV), 0, 2**31 - 1,
+                                   jnp.int32).astype(jnp.uint32)
+        tr_pl = kf.tcq1_planar_weights(words, m, k, KV)
+        x = jax.random.normal(key, (1, k), jnp.float32).astype(jnp.bfloat16)
+        print(f"== m={m} k={k} KV={KV} planar "
+              f"{tr_pl.size * 4 / 2**20:.1f} MiB ==")
+        base = timeit(lambda xx: xx.astype(jnp.float32) * 2.0, x)
+        for v in ("cur", "f16", "f32", "i8"):
+            for abl in ("full", "dotonly", "deconly"):
+                try:
+                    t = timeit(lambda xx, tt: run(xx, tt, KV, m, k, v, abl),
+                               x, tr_pl)
+                    gw = k * m / (t - base) / 1e3
+                    bw = tr_pl.size * 4 / (t - base) / 1e3
+                    print(f"  {v:5s} {abl:8s} {t - base:9.1f} us  "
+                          f"{gw:7.1f} Gw/s  {bw:7.1f} GB/s-planar")
+                except Exception as e:
+                    print(f"  {v:5s} {abl:8s} FAILED {type(e).__name__} "
+                          f"{str(e)[:120]}")
+
+
+if __name__ == "__main__":
+    main()

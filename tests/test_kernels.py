@@ -140,6 +140,26 @@ def test_tcq1_kernel_matches_reference():
     assert rel < 0.03, rel
 
 
+@pytest.mark.parametrize("KV", [5, 6])
+def test_tcq2_kernel_matches_reference(KV):
+    """V=2 dual-mad planar kernel == executable-spec decode
+    (packing.dequant_tcq2)."""
+    from qpalette_tpu.ops.codebooks import trellis_lut_arith
+    m, k = 64, 128
+    rng = np.random.default_rng(30 + KV)
+    ntiles = (m // 16) * (k // 16)
+    words = rng.integers(0, 1 << 32, (ntiles, 4 * KV), dtype=np.uint32)
+    lut = trellis_lut_arith("dualmad")
+    W = packing.dequant_tcq2(jnp.asarray(words), jnp.asarray(lut), m, k, KV)
+    x = jnp.asarray(rng.standard_normal((2, k)).astype(np.float32))
+    y_ref = np.asarray(x.astype(jnp.bfloat16).astype(jnp.float32) @ W.T)
+    tr_pl = kf.tcq2_planar_weights(jnp.asarray(words), m, k, KV)
+    y = np.asarray(fused.tcq2_decode_matmul(x.astype(jnp.bfloat16), tr_pl,
+                                            KV, m, k))
+    rel = np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-9)
+    assert rel < 0.03, rel
+
+
 # ---------------------------------------------------------------------------
 # dequant-to-HBM kernels (the bs>8 / prefill path) vs the executable spec
 # ---------------------------------------------------------------------------
@@ -155,6 +175,20 @@ def test_tcq1_dequant_matches_spec():
                                        m, k, KV, v=1))
     tr_pl = kf.tcq1_planar_weights(jnp.asarray(words), m, k, KV)
     Wt = np.asarray(fused.tcq1_dequant(tr_pl, KV, m, k)).astype(np.float32)
+    assert np.allclose(Wt, W.T, atol=2e-2), np.abs(Wt - W.T).max()
+
+
+def test_tcq2_dequant_matches_spec():
+    from qpalette_tpu.ops.codebooks import trellis_lut_arith
+    KV, m, k = 6, 64, 128
+    rng = np.random.default_rng(44)
+    ntiles = (m // 16) * (k // 16)
+    words = rng.integers(0, 1 << 32, (ntiles, 4 * KV), dtype=np.uint32)
+    lut = trellis_lut_arith("dualmad")
+    W = np.asarray(packing.dequant_tcq2(jnp.asarray(words),
+                                        jnp.asarray(lut), m, k, KV))
+    tr_pl = kf.tcq2_planar_weights(jnp.asarray(words), m, k, KV)
+    Wt = np.asarray(fused.tcq2_dequant(tr_pl, KV, m, k)).astype(np.float32)
     assert np.allclose(Wt, W.T, atol=2e-2), np.abs(Wt - W.T).max()
 
 

@@ -66,10 +66,16 @@ def test_quantized_forward_and_merges(dense_setup, tmp_path, qstr, merge):
     assert corr > 0.5, corr
 
 
-def test_merged_equals_unmerged(dense_setup, tmp_path):
-    """Fused QKV/UG projections must produce identical math to unfused."""
+@pytest.mark.parametrize("qstr", [
+    "tcq_4_none_0.9",
+    "tcq1_3_none_0.9",   # the benchmarked scheme — real-artifact merge
+    "tcq2_6_none_0.9",
+])
+def test_merged_equals_unmerged(dense_setup, tmp_path, qstr):
+    """Fused QKV/UG projections must produce identical math to unfused,
+    built from REAL quantized artifacts (merge_artifacts row-concat,
+    reference tcq_linear.py:86-122)."""
     dp, _, _ = dense_setup
-    qstr = "tcq_4_none_0.9"
     spec_u, par_u = build_quantized_model(
         CFG, qstr, model_key="tiny_mrg", save_dir=str(tmp_path),
         dense_params=dp)
@@ -80,6 +86,34 @@ def test_merged_equals_unmerged(dense_setup, tmp_path):
     lu = np.asarray(forward(spec_u, par_u, toks))
     lm = np.asarray(forward(spec_m, par_m, toks))
     assert np.allclose(lu, lm, atol=2e-2), np.abs(lu - lm).max()
+
+
+@pytest.mark.parametrize("offset", [0, 3])
+def test_flash_attention_matches_dense(offset):
+    """Blockwise (flash) attention == dense-mask attention (SURVEY §5.7:
+    the ctx-8192 ppl path must not materialize (B,h,S,T) f32)."""
+    from qpalette_tpu.models.llama import _attention, _attention_flash
+    cfg = CFG
+    B, S, D = 2, 64, cfg.head_dim
+    T = S + offset
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.standard_normal((B, S, cfg.num_heads, D)),
+                    jnp.float32).astype(jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, T, cfg.num_kv_heads, D)),
+                    jnp.float32).astype(jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, T, cfg.num_kv_heads, D)),
+                    jnp.float32).astype(jnp.bfloat16)
+    dense = np.asarray(_attention(q, k, v, offset, cfg)
+                       .astype(jnp.float32))
+    flash = np.asarray(_attention_flash(q, k, v, offset, cfg,
+                                        qc=16, tc=16).astype(jnp.float32))
+    assert np.allclose(dense, flash, atol=2e-2), \
+        np.abs(dense - flash).max()
+    # traced (non-static) offset goes through the masked-all-chunks path
+    flash_tr = jax.jit(lambda *a: _attention_flash(*a, cfg, qc=16, tc=16)
+                       )(q, k, v, jnp.int32(offset))
+    assert np.allclose(dense, np.asarray(flash_tr.astype(jnp.float32)),
+                       atol=2e-2)
 
 
 def test_decode_matches_prefill(dense_setup):

@@ -261,6 +261,26 @@ def test_tcq1_arithmetic_mode_end_to_end():
     assert art["meta"]["err"] < 0.2, art["meta"]["err"]
 
 
+def test_tcq2_dualmad_end_to_end():
+    """V=2 arithmetic trellis (dualmad): exact pack round-trip against
+    packing.dequant_tcq2 and distortion at the 3 bits/weight level
+    (claimed 0.0191 @ 4096^2; small-matrix bound is looser)."""
+    from qpalette_tpu.ops.codebooks import trellis_lut_arith
+    rng = np.random.default_rng(10)
+    m, n = 32, 64
+    Wr = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
+    linear, hatW = quantizers.quantize_mat_tcq2(Wr, None, KV=6)
+    assert linear["kind"] == "tcq2" and linear["decode_mode"] == "dualmad"
+    lut = jnp.asarray(trellis_lut_arith("dualmad"))
+    dec = packing.dequant_tcq2(jnp.asarray(linear["trellis"]), lut, m, n, 6)
+    assert np.allclose(np.asarray(dec), np.asarray(hatW), atol=1e-5)
+    mse = float(jnp.mean((hatW - Wr) ** 2))
+    assert mse < 0.06, mse  # 3 bits/weight (reference tcq_6 proxy 0.0189)
+
+    art = quantize_linear(np.asarray(Wr) * 0.02, "tcq2_6_none_0.9", seed=0)
+    assert art["meta"]["err"] < 0.2, art["meta"]["err"]
+
+
 def test_viterbi_high_kv_backtrace():
     """KV > 8 uses >8-bit backtrace pointers (regression: uint8 overflow
     produced garbage for tcq_9/tcq_10)."""
@@ -272,3 +292,57 @@ def test_viterbi_high_kv_backtrace():
     assert np.all((st[:, 1:] & ((1 << 7) - 1)) == (st[:, :-1] >> 9))
     mse = float(jnp.mean((hat - X) ** 2))
     assert mse < 0.02, mse  # 4.5 bits/weight
+
+
+def test_block_ldl_dampens_singular_hessian():
+    """Near-singular H must not propagate NaNs (reference nuq_op.py:298-314
+    escalating-dampening behavior)."""
+    from qpalette_tpu.quant.ldlq import block_ldl
+    n = 32
+    rng = np.random.default_rng(5)
+    u = rng.standard_normal((n, 2)).astype(np.float32)
+    H = jnp.asarray(u @ u.T)  # rank-2: plain Cholesky fails
+    L, D = block_ldl(H, 16)
+    assert np.isfinite(np.asarray(L)).all()
+    assert np.isfinite(np.asarray(D)).all()
+
+
+def test_als_full_hessian_beats_diagonal():
+    """Full off-diagonal ALS (CD assignments + closed-form centroids) must
+    reduce tr(E H E^T) below the diagonal-only estimate (reference
+    nuq_op.py train_least_squares objective-decreases property)."""
+    from qpalette_tpu.quant.als import quantize_mat_vq_als
+    from qpalette_tpu.quant.ldlq import regularize_h
+    rng = np.random.default_rng(6)
+    m, n, bits, vec = 64, 64, 3, 1
+    W = rng.standard_normal((m, n)).astype(np.float32)
+    X = rng.standard_normal((256, n)).astype(np.float32)
+    H = (X.T @ X / 256).astype(np.float32)
+    Hn = np.asarray(regularize_h(jnp.asarray(H)))
+
+    def obj(hat):
+        E = np.asarray(hat) - W
+        return float(np.einsum("ij,jk,ik->", E, Hn, E))
+
+    _, hat_full = quantize_mat_vq_als(jnp.asarray(W), jnp.asarray(H),
+                                      bits, vec, use_hess=True, iters=3)
+    _, hat_nohess = quantize_mat_vq_als(jnp.asarray(W), None, bits, vec,
+                                        use_hess=False, iters=3)
+    assert np.isfinite(np.asarray(hat_full)).all()
+    assert obj(hat_full) < obj(hat_nohess) * 1.001, \
+        (obj(hat_full), obj(hat_nohess))
+
+
+def test_als_vec2_full_hessian_runs():
+    from qpalette_tpu.quant.als import quantize_mat_vq_als
+    rng = np.random.default_rng(7)
+    m, n = 32, 64
+    W = rng.standard_normal((m, n)).astype(np.float32)
+    X = rng.standard_normal((128, n)).astype(np.float32)
+    H = (X.T @ X / 128).astype(np.float32)
+    linear, hat = quantize_mat_vq_als(jnp.asarray(W), jnp.asarray(H),
+                                      bits=4, vec=2, use_hess=True, iters=2)
+    assert np.isfinite(np.asarray(hat)).all()
+    dec = packing.dequant_lut(jnp.asarray(linear["qweight"]),
+                              jnp.asarray(linear["lut"]), m, n, 4, 2)
+    assert np.allclose(np.asarray(dec), np.asarray(hat), atol=1e-5)
