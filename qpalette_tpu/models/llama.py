@@ -379,11 +379,14 @@ def _causal_mask(S: int, T: int, offset) -> jax.Array:
 
 
 def forward(spec: ModelSpec, params: Params, tokens: jax.Array,
-            kv_caches=None, cache_pos=None):
+            kv_caches=None, cache_pos=None, return_hidden: bool = False):
     """tokens (B, S) -> logits (B, S, vocab).
 
     With kv_caches (list per layer of (k, v) (B, T, hk, d)) runs the
-    incremental decode path, writing at cache_pos.
+    incremental decode path, writing at cache_pos.  return_hidden=True
+    returns the final-norm hidden states instead of logits (long-context
+    CE chunks the lm_head matmul itself — (B, S, vocab) f32 at ctx 8192
+    is 4.2 GB).
     """
     cfg = spec.config
     B, S = tokens.shape
@@ -412,6 +415,8 @@ def forward(spec: ModelSpec, params: Params, tokens: jax.Array,
         new_caches.append(kv)
 
     x = rms_norm(x, params["ln_f"], cfg.rms_eps)
+    if return_hidden:
+        return (x, new_caches) if kv_caches is not None else x
     logits = x.astype(jnp.float32) @ params["lm_head"].T.astype(jnp.float32)
     if kv_caches is not None:
         return logits, new_caches

@@ -156,6 +156,22 @@ def decode_2mad(x: np.ndarray) -> np.ndarray:
     return (y / MAD_SCALE).astype(np.float32)
 
 
+MAD3_A, MAD3_B, MAD3_FPMASK = 89226354, 64248484, 996162400
+
+
+def decode_3inst(x: np.ndarray) -> np.ndarray:
+    """fp16 bit-trick decoder (reference bitshift.py:42-59): LCG scramble,
+    mask sign+low-exponent+mantissa of each 16-bit half, XOR a constant
+    exponent pattern, and sum the two resulting fp16s."""
+    u = (np.asarray(x).astype(np.uint64) * MAD3_A + MAD3_B) & 0xFFFFFFFF
+    mask = ((1 << 15) + ((1 << 12) - 1))
+    mask = (mask << 16) + mask
+    res = (u & mask) ^ MAD3_FPMASK
+    top = (res >> 16).astype(np.uint16).view(np.float16)
+    bottom = (res & 0xFFFF).astype(np.uint16).view(np.float16)
+    return (top.astype(np.float32) + bottom.astype(np.float32))
+
+
 @functools.lru_cache(maxsize=None)
 def trellis_lut_arith(mode: str) -> np.ndarray:
     """State->value table for the arithmetic decode modes: (2^16, 1) for
@@ -167,6 +183,8 @@ def trellis_lut_arith(mode: str) -> np.ndarray:
         v = decode_1mad(s)
     elif mode == "2mad":
         v = decode_2mad(s)
+    elif mode == "3inst":
+        v = decode_3inst(s)
     elif mode == "dualmad":
         return decode_dualmad(s)  # (2^16, 2) — V=2
     else:

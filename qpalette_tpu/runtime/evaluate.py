@@ -16,15 +16,25 @@ import jax.numpy as jnp
 from qpalette_tpu.models import llama
 
 
-@functools.partial(jax.jit, static_argnames=("spec",))
-def ce_loss(spec, params, tokens):
+@functools.partial(jax.jit, static_argnames=("spec", "chunk"))
+def ce_loss(spec, params, tokens, chunk: int = 1024):
     """tokens (B, S) -> mean next-token cross-entropy (matches the
-    reference's shift-logits CE, eval_qdict.py:28-32)."""
-    logits = llama.forward(spec, params, tokens)
-    logp = jax.nn.log_softmax(logits[:, :-1, :], axis=-1)
-    tgt = tokens[:, 1:]
-    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
-    return jnp.mean(nll)
+    reference's shift-logits CE, eval_qdict.py:28-32).
+
+    The lm_head matmul + log-softmax run over sequence chunks so ctx-8192
+    never materializes (B, S, vocab) f32 (4.2 GB for Llama-3 vocab)."""
+    h = llama.forward(spec, params, tokens, return_hidden=True)  # (B,S,hid)
+    lm = params["lm_head"].astype(jnp.float32)
+    B, S = tokens.shape
+    total = jnp.float32(0.0)
+    for c0 in range(0, S - 1, chunk):
+        c1 = min(c0 + chunk, S - 1)
+        logits = h[:, c0:c1].astype(jnp.float32) @ lm.T
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tgt = tokens[:, c0 + 1:c1 + 1]
+        nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+        total = total + jnp.sum(nll)
+    return total / (B * (S - 1))
 
 
 def eval_ppl(spec, params, token_stream: np.ndarray, ctx_size: int = 8192,

@@ -33,6 +33,23 @@ def _pool_step(spec, params, tokens, caches, positions, active, key,
     return nxt[:, None], caches
 
 
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _prefill_slot(spec, params, caches, slot, tokens, pos0):
+    """Write one slot's prompt chunk into the pool caches.
+
+    tokens (1, C) at positions [pos0, pos0+C); the slot's cache rows are
+    sliced out, run through the normal incremental forward, and written
+    back — one dispatch per chunk instead of per token (admission cost
+    O(prompt/C) model steps)."""
+    sliced = [tuple(jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=0)
+                    for c in kv) for kv in caches]
+    _, new_sliced = llama.forward(spec, params, tokens, kv_caches=sliced,
+                                  cache_pos=pos0)
+    return [tuple(jax.lax.dynamic_update_slice_in_dim(c, cn, slot, axis=0)
+                  for c, cn in zip(kv, kvn))
+            for kv, kvn in zip(caches, new_sliced)]
+
+
 @dataclass
 class Request:
     rid: int
@@ -47,9 +64,11 @@ class ContinuousBatcher:
 
     def __init__(self, spec, params, n_slots: int = 4, max_seq: int = 512,
                  temperature: float = 0.6, top_k: Optional[int] = 5,
-                 eos_id: Optional[int] = None, seed: int = 0):
+                 eos_id: Optional[int] = None, seed: int = 0,
+                 prefill_chunk: int = 64):
         self.spec, self.params = spec, params
         self.n_slots, self.max_seq = n_slots, max_seq
+        self.prefill_chunk = prefill_chunk
         self.temperature, self.top_k = temperature, top_k
         self.eos_id = eos_id
         self.caches = llama.init_kv_caches(spec, n_slots, max_seq)
@@ -72,28 +91,29 @@ class ContinuousBatcher:
             if self.slot_req[slot] is None and self.queue:
                 req = self.queue.pop(0)
                 self.slot_req[slot] = req
-                # prefill this slot: run its prompt through the pool step
-                # one token at a time at the slot's positions (simple and
-                # shape-stable; chunked prefill is a follow-up)
+                # chunked prefill: the prompt context goes through
+                # prefill_chunk-wide forwards on this slot's sliced caches
+                # (one dispatch per chunk; an exact-size tail chunk avoids
+                # padded writes past the context)
                 self.positions[slot] = 0
-                for t in req.prompt[:-1]:
-                    self._single_slot_token(slot, t)
+                ctx = req.prompt[:-1]
+                C = self.prefill_chunk
+                pos = 0
+                for c0 in range(0, (len(ctx) // C) * C, C):
+                    self._prefill_chunk(slot, ctx[c0:c0 + C], pos)
+                    pos += C
+                tail = ctx[(len(ctx) // C) * C:]
+                if tail:
+                    self._prefill_chunk(slot, tail, pos)
+                    pos += len(tail)
+                self.positions[slot] = pos
                 self.cur[slot, 0] = req.prompt[-1]
 
-    def _single_slot_token(self, slot: int, token: int):
-        toks = self.cur.copy()
-        toks[slot, 0] = token
-        active = np.zeros((self.n_slots,), bool)
-        active[slot] = True
-        self.key, sk = jax.random.split(self.key)
-        # NOTE: jnp.asarray on a host numpy buffer is zero-copy on CPU and
-        # dispatch is async — always copy mutable host state at the device
-        # boundary or later `self.positions[...] += 1` races the read.
-        nxt, self.caches = _pool_step(
-            self.spec, self.params, jnp.array(toks), self.caches,
-            jnp.array(self.positions), jnp.array(active), sk,
-            self.temperature, self.top_k)
-        self.positions[slot] += 1
+    def _prefill_chunk(self, slot: int, tokens, pos: int):
+        self.caches = _prefill_slot(
+            self.spec, self.params, self.caches, jnp.int32(slot),
+            jnp.asarray(np.array(tokens, np.int32)[None, :]),
+            jnp.int32(pos))
 
     def step(self):
         """One decode step across all active slots."""

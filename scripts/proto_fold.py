@@ -86,7 +86,7 @@ def _kernel(x_ref, tr_ref, o_ref, d_ref, *, KV, tk, wm, cc, NP, variant,
         for kt in range(tk):
             decode_tile(kt)
         acc = jnp.zeros(o_ref.shape[-2:], o_ref.dtype) + (
-            d_ref[0, 0].astype(o_ref.dtype) * 0)
+            d_ref[0, 0].astype(jnp.int32) * 0).astype(o_ref.dtype)
     else:
         for c0 in range(0, tk, cc):
             if abl == "dotonly":
@@ -100,12 +100,8 @@ def _kernel(x_ref, tr_ref, o_ref, d_ref, *, KV, tk, wm, cc, NP, variant,
                 hmat = pltpu.bitcast(chunk, jnp.int8).astype(DDT)
             elif variant == "i8":
                 hmat = pltpu.bitcast(chunk, jnp.int8)
-            elif variant == "f16":
-                hmat = (pltpu.bitcast(chunk, jnp.int16)
-                        - jnp.int16(256)).astype(DDT)
-            elif variant == "f32":
-                hmat = (pltpu.bitcast(chunk, jnp.int16)
-                        - jnp.int16(510)).astype(DDT)
+            elif variant in ("f16", "f32"):
+                hmat = pltpu.bitcast(chunk, jnp.int16).astype(DDT)
             part = jax.lax.dot_general(
                 x[:, c0 * kw:(c0 + cc) * kw], hmat,
                 (((1,), (0,)), ((), ())),
@@ -168,14 +164,11 @@ def run(x, tr_pl, KV, m, k, variant="cur", abl="full"):
     out = out.astype(jnp.float32)
     if variant == "i8":
         out = out * sx
+    sumx = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
     if variant in ("cur", "i8"):
-        sumx = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
         out = (out + 2.0 * sumx) * _MAD_INV
-    elif variant == "f16":
-        sumx = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
-        out = (out + 2.0 * sumx) * _MAD_INV
-    else:
-        out = out * _MAD_INV
+    else:  # f16/f32: positive byte sums, subtract 510 per weight
+        out = (out - 510.0 * sumx) * _MAD_INV
     return (out.reshape(N, gm, 16, wm).transpose(0, 1, 3, 2).reshape(N, m))
 
 
