@@ -37,10 +37,12 @@ def main():
     from qpalette_tpu.runtime.decode import generate_fast, model_bytes
 
     # default = the TPU-fast arithmetic-decode MSQ mix (what the
-    # latency-aware solver picks on this hardware; 3.27-bit avg, proxy err
-    # 0.0177 < reference tcomb headline's tcq_6 0.0189)
-    scheme = os.environ.get("QPT_BENCH_SCHEME", "tcq1mix")
-    impl = os.environ.get("QPT_BENCH_IMPL", "pallas")
+    # latency-aware solver picks on this hardware; 3.27-bit avg):
+    # tcq2 (V=2 dualmad, proxy err 0.0191 @3bit ~= reference tcq_6's
+    # 0.0189) on the merged projections, tcq1 (1mad) on the row-parallel
+    # ones; int8-activation MXU dots (impl pallas_a8).
+    scheme = os.environ.get("QPT_BENCH_SCHEME", "tcq2mix")
+    impl = os.environ.get("QPT_BENCH_IMPL", "pallas_a8")
     n_layers = int(os.environ.get("QPT_BENCH_LAYERS", "32"))
     n_tokens = int(os.environ.get("QPT_BENCH_TOKENS", "64"))
 
@@ -50,24 +52,41 @@ def main():
     # headline config uses fused QKV / gate-up (reference README.md:89-101)
     merge = os.environ.get("QPT_BENCH_MERGE", "1") == "1"
 
+    # int8 per-row lm_head (framework feature; reference keeps fp16 —
+    # QPT_BENCH_LM8=0 restores bf16 for apples-to-apples)
+    lm_bits = 8 if os.environ.get("QPT_BENCH_LM8", "1") == "1" else 16
+
     def run(nl):
         mi = [["merge_qkv", "merge_ug"]] * nl if merge else None
-        if scheme == "tcq1mix":
-            # 3.27-bit avg mix of gather-free arithmetic-decode trellis
-            # quantizers (the TPU-fast palette members): up_proj @4 bits,
-            # rest @3 — what the latency-aware MSQ solver picks on TPU
+        if scheme in ("tcq1mix", "tcq2mix"):
+            # 3.27-bit avg arithmetic-decode trellis mix.  Schemes are
+            # merge-compatible within each fused group (same KV — the
+            # constraint merge_artifacts enforces on real artifacts):
+            #   qkv (merged)     tcq2_6  3.0 bits
+            #   o_proj           tcq1_3  3.0 bits
+            #   up+gate (merged) tcq2_7  3.5 bits
+            #   down_proj        tcq1_3  3.0 bits
             from qpalette_tpu.runtime.loader import LAYER_KEYS
+            ugq = ("tcq2_7_none_0.9" if scheme == "tcq2mix"
+                   else "tcq1_4_none_0.9")
+            qkvq = ("tcq2_6_none_0.9" if scheme == "tcq2mix"
+                    else "tcq1_3_none_0.9")
             qd = {}
             for i in range(nl):
                 for key in LAYER_KEYS:
-                    qd[f"{i}_{key}"] = ("tcq1_4_none_0.9"
-                                        if key == "mlp.up_proj"
-                                        else "tcq1_3_none_0.9")
+                    if key in ("mlp.up_proj", "mlp.gate_proj"):
+                        qd[f"{i}_{key}"] = ugq
+                    elif key.startswith("self_attn.") and \
+                            key != "self_attn.o_proj":
+                        qd[f"{i}_{key}"] = qkvq
+                    else:
+                        qd[f"{i}_{key}"] = "tcq1_3_none_0.9"
         else:
             qd = scheme
         spec, params = build_quantized_model(
             cfg, qd, merge_info=mi, model_key=f"bench_8b_{scheme[:12]}",
-            save_dir="/tmp/qpt_bench", dummy=True, impl=impl, num_layers=nl)
+            save_dir="/tmp/qpt_bench", dummy=True, impl=impl, num_layers=nl,
+            lm_head_bits=lm_bits)
         prompt = np.array([[1]], dtype=np.int32)
         seq, stats = generate_fast(spec, params, prompt,
                                    max_new_tokens=n_tokens,
@@ -90,8 +109,8 @@ def main():
         # per-token time scales with quantized layer count
         toks = 1.0 / ((1.0 / toks) * full_layers / n_run)
 
-    bits_label = "3.27-bit arith-TCQ MSQ" if scheme == "tcq1mix" \
-        else "3.25-bit"
+    bits_label = "3.27-bit arith-TCQ MSQ" \
+        if scheme in ("tcq1mix", "tcq2mix") else "3.25-bit"
     metric = (f"decode tokens/s/chip bs=1 Llama-3.1-8B {bits_label}"
               + (" (extrapolated)" if extrapolated else ""))
     print(json.dumps({

@@ -382,7 +382,7 @@ def tcomb_decode_matmul(x, trc, tlut, KV1: int, KV2: int, S: int, m: int,
 
 
 # ---------------------------------------------------------------------------
-# TCQ1: V=1 trellis with arithmetic (gather-free) decode — the TPU fast path
+# TCQ1 / TCQ2: arithmetic (gather-free) trellis decode — the TPU fast path
 # ---------------------------------------------------------------------------
 
 _MAD1_A, _MAD1_B = 34038481, 76625530
@@ -390,19 +390,46 @@ _MAD2_A, _MAD2_B, _MAD2_C = 264435761, 1013904223, 1664525
 _MAD_INV = 1.0 / 147.800537109375
 
 
-def _mad_value(u, mode):
-    """state (uint32 vec) -> decoded weight (f32 vec); pure VPU ALU.
+def _planar_states(tr_ref, kt, KV, NP, sub):
+    """Yield the 16 masked state vectors of planar tile kt.
 
-    Mirrors reference decode_1mad/2mad (bitshift.py:16-39): LCG scramble +
-    byte-sum gives an approximately Gaussian value; no table lookup."""
-    assert mode == "1mad", "2mad needs 32x32->hi32 multiply (round 2)"
-    h = u * jnp.uint32(_MAD1_A) + jnp.uint32(_MAD1_B)
-    b255 = jnp.uint32(255)
-    ssum = ((h & b255) + ((h >> jnp.uint32(8)) & b255)
-            + ((h >> jnp.uint32(16)) & b255)
-            + ((h >> jnp.uint32(24)) & b255))
-    y = ssum.astype(jnp.int32).astype(jnp.float32) - 510.0
-    return y * _MAD_INV
+    sub = sublanes per plane: 16 for tcq1 (V=1), 8 for tcq2 (V=2).  Row
+    j*sub + t of a tile holds the ALIGNED window [16*KV*t + 32*j, +32) of
+    the tile's circular bitstream (formats.tcq{1,2}_planar_weights), so
+    state i of every sublane group is two constant shifts."""
+    planes = [tr_ref[kt, jj * sub:(jj + 1) * sub, :] for jj in range(NP)]
+    M16 = jnp.uint32(0xFFFF)
+    for i in range(16):
+        off = KV * i
+        j0, sh = off >> 5, off & 31
+        if sh + 16 <= 32:
+            u = planes[j0] >> jnp.uint32(sh) if sh else planes[j0]
+        else:
+            u = ((planes[j0] >> jnp.uint32(sh))
+                 | (planes[j0 + 1] << jnp.uint32(32 - sh)))
+        yield i, u & M16
+
+
+def _mad_scramble(u, mode: str):
+    """16-bit state (uint32 vec) -> scrambled 32-bit word h whose byte sum
+    (minus 510, scaled) is the decoded weight.
+
+    1mad: one LCG step (reference decode_1mad, bitshift.py:16-25).
+    2mad: second stage x += hi32(x*C) with the 32x32->hi32 multiply
+    emulated in 16-bit limbs on the VPU (reference decode_2mad,
+    bitshift.py:28-39; exactness checked in tests)."""
+    if mode == "1mad":
+        return u * jnp.uint32(_MAD1_A) + jnp.uint32(_MAD1_B)
+    assert mode == "2mad", mode
+    h0 = u * jnp.uint32(_MAD2_A) + jnp.uint32(_MAD2_B)
+    CH = jnp.uint32(_MAD2_C >> 16)
+    CL = jnp.uint32(_MAD2_C & 0xFFFF)
+    xl = h0 & jnp.uint32(0xFFFF)
+    xh = h0 >> jnp.uint32(16)
+    lowc = (xl * CL) >> jnp.uint32(16)
+    mid = xl * CH + xh * CL
+    hi = xh * CH + ((mid + lowc) >> jnp.uint32(16))
+    return hi + h0
 
 
 def _bytes_as_bf16(h_chunk, interpret: bool):
@@ -420,166 +447,95 @@ def _bytes_as_bf16(h_chunk, interpret: bool):
     return jnp.stack(parts, axis=1).reshape(4 * R, C).astype(DDT)
 
 
-def _tcq1_kernel(x4_ref, tr_ref, o_ref, d_ref, *, KV, tk, wm, cc, NP,
-                 interp):
-    """Planar gather-free tcq1 decode + MXU byte-sum matmul.
-
-    Weights arrive pre-swizzled (formats.tcq1_planar_weights): row j*16+t of
-    a tile holds the ALIGNED window [16*KV*t + 32*j, +32) of the tile's
-    bitstream, so deriving state i of each sublane's 16-state group is
-    constant shifts only.  The 1mad byte-sum (bitshift.py:16-27) rides the
-    MXU: we store h = u*A+B (XOR 0x80808080) as uint32, bitcast to int8,
-    and dot against x repeated 4x — sum(int8 bytes) = sum(u8 bytes) - 512,
-    so  y = INV * (x4 @ bytes + 2 * sum(x)).  The dot also gains exactness:
-    no bf16 rounding of decoded weights (bytes are integers, exact in bf16).
-    """
-    j = pl.program_id(1)
-    M16 = jnp.uint32(0xFFFF)
-    XOR = jnp.uint32(0x80808080)
-    A, B = jnp.uint32(_MAD1_A), jnp.uint32(_MAD1_B)
-
-    def decode_tile(kt):
-        planes = [tr_ref[kt, jj * 16:(jj + 1) * 16, :] for jj in range(NP)]
-        for i in range(16):  # i = m-row within tile
-            off = KV * i
-            j0, sh = off >> 5, off & 31
-            if sh + 16 <= 32:
-                u = planes[j0] >> jnp.uint32(sh) if sh else planes[j0]
-            else:
-                u = ((planes[j0] >> jnp.uint32(sh))
-                     | (planes[j0 + 1] << jnp.uint32(32 - sh)))
-            h = (u & M16) * A + B
-            d_ref[kt * 16:(kt + 1) * 16, i * wm:(i + 1) * wm] = h ^ XOR
-
-    # chunked dots so the VLIW scheduler overlaps VPU decode of chunk c+1
-    # with the MXU pass over chunk c
-    x4 = x4_ref[0]  # (N, 4*tk*16)
-    acc = None
-    for c0 in range(0, tk, cc):
-        for kt in range(c0, c0 + cc):
-            decode_tile(kt)
-        h8 = _bytes_as_bf16(d_ref[c0 * 16:(c0 + cc) * 16, :], interp)
-        part = jax.lax.dot_general(
-            x4[:, c0 * 64:(c0 + cc) * 64], h8,
-            (((1,), (0,)), ((), ())), preferred_element_type=ACC)
-        acc = part if acc is None else acc + part
-    # each x element appears 4x in x4, so sum(x4)/4 == sum(x)
-    sumx = jnp.sum(x4.astype(ACC), axis=1, keepdims=True) * 0.25
-    acc = (acc + 2.0 * sumx) * _MAD_INV
-
-    @pl.when(j == 0)
-    def _():
-        o_ref[:] = acc
-
-    @pl.when(j != 0)
-    def _():
-        o_ref[:] = o_ref[:] + acc
-
-
-@functools.partial(jax.jit, static_argnames=("KV", "mode", "m", "k"))
-def tcq1_decode_matmul(x, tr_pl, KV: int, mode: str, m: int, k: int):
-    """x (N, k); tr_pl (k/16, NP*16, m/16) uint32 planar layout
-    (formats.tcq1_planar_weights).  Returns (N, m) f32 = x @ W^T.
-
-    Measured v5e (KV=3): 327-474 Gw/s vs 224-253 for the select-chain
-    kernel it replaced (scripts/proto_planar.py)."""
-    assert mode == "1mad", "2mad needs 32x32->hi32 multiply (round 2)"
-    from qpalette_tpu.kernels.formats import tcq1_n_planes
-    N = x.shape[0]
-    NP = tcq1_n_planes(KV)
-    kt_total = k // 16
-    tk = next(c for c in (32, 16, 8, 4, 2, 1) if kt_total % c == 0)
-    # wm=128 measured fastest at every model shape (sweep in
-    # scripts/proto_planar.py); smaller candidates only for tiny tests
-    wm = _pick_width(m // 16, candidates=(128, 64))
-    gk = kt_total // tk
-    gm = (m // 16) // wm
-    cc = next(c for c in (8, 4, 2, 1) if tk % c == 0)
-    xp = x.astype(DDT).reshape(N, gk, tk * 16).transpose(1, 0, 2)
-    x4 = jnp.repeat(xp, 4, axis=2)  # (gk, N, 4*tk*16), element-repeat
-    interp = _interpret()
-    out = pl.pallas_call(
-        functools.partial(_tcq1_kernel, KV=KV, tk=tk, wm=wm, cc=cc, NP=NP,
-                          interp=interp),
-        out_shape=jax.ShapeDtypeStruct((N, m), ACC),
-        grid=(gm, gk),
-        in_specs=[
-            pl.BlockSpec((1, N, 4 * tk * 16), lambda i, j: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk, NP * 16, wm), lambda i, j: (j, 0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((N, 16 * wm), lambda i, j: (0, i),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((tk * 16, 16 * wm), jnp.uint32)],
-        compiler_params=_cparams(),
-        interpret=_interpret(),
-    )(x4, tr_pl)
-    # block column order is (v2, mcol); actual m index = tile*16 + v2
-    return (out.reshape(N, gm, 16, wm).transpose(0, 1, 3, 2)
-            .reshape(N, m))
-
-
-def _tcq2_kernel(x4_ref, tr_ref, o_ref, d_ref, *, KV, tk, wm, cc, NP,
-                 interp):
-    """V=2 planar dual-mad decode + MXU byte-sum matmul (tcq2).
-
-    Same planar-window trick as _tcq1_kernel but one state per weight PAIR:
-    row j*8+t of a tile holds the aligned window [16*KV*t + 32*j, +32), so
-    16 constant-shift extractions (one per m-row) decode the whole tile —
-    ~2x fewer VPU ops per weight than tcq1.  Decode is two multiplies
-    (h1 = u*A1, h2 = u*A2); the signed-byte sums ride the MXU via int8
-    bitcast with NO xor and NO additive correction (codebooks.decode_dualmad
-    is defined over signed bytes)."""
-    j = pl.program_id(1)
-    M16 = jnp.uint32(0xFFFF)
-    A1, A2 = jnp.uint32(_MAD1_A), jnp.uint32(_MAD2_A)
-
-    def decode_tile(kt):
-        planes = [tr_ref[kt, jj * 8:(jj + 1) * 8, :] for jj in range(NP)]
-        for i in range(16):  # i = m-row within tile
-            off = KV * i
-            j0, sh = off >> 5, off & 31
-            if sh + 16 <= 32:
-                u = planes[j0] >> jnp.uint32(sh) if sh else planes[j0]
-            else:
-                u = ((planes[j0] >> jnp.uint32(sh))
-                     | (planes[j0 + 1] << jnp.uint32(32 - sh)))
-            u = u & M16
-            d_ref[kt * 16:kt * 16 + 8, i * wm:(i + 1) * wm] = u * A1
-            d_ref[kt * 16 + 8:kt * 16 + 16, i * wm:(i + 1) * wm] = u * A2
-
-    x4 = x4_ref[0]  # (N, 4*tk*16)
-    acc = None
-    for c0 in range(0, tk, cc):
-        for kt in range(c0, c0 + cc):
-            decode_tile(kt)
-        h8 = _bytes_as_bf16_signed(d_ref[c0 * 16:(c0 + cc) * 16, :],
-                                   interp)
-        part = jax.lax.dot_general(
-            x4[:, c0 * 64:(c0 + cc) * 64], h8,
-            (((1,), (0,)), ((), ())), preferred_element_type=ACC)
-        acc = part if acc is None else acc + part
-    acc = acc * _MAD_INV
-
-    @pl.when(j == 0)
-    def _():
-        o_ref[:] = acc
-
-    @pl.when(j != 0)
-    def _():
-        o_ref[:] = o_ref[:] + acc
+def _bytes_i8(h_chunk, interpret: bool):
+    """(R, C) uint32 -> (4R, C) int8 view of the bytes (little-endian row
+    order 4r+b).  Compiled: free sublane bitcast; interpret: shifts."""
+    if not interpret:
+        return pltpu.bitcast(h_chunk, jnp.int8)
+    R, C = h_chunk.shape
+    parts = [(((h_chunk >> jnp.uint32(8 * b)) & jnp.uint32(255))
+              .astype(jnp.int32)) for b in range(4)]
+    parts = [jnp.where(p >= 128, p - 256, p) for p in parts]
+    return jnp.stack(parts, axis=1).reshape(4 * R, C).astype(jnp.int8)
 
 
 def _bytes_as_bf16_signed(h_chunk, interpret: bool):
     """(R, C) uint32 -> (4R, C) bf16 of the SIGNED (int8) bytes."""
     if not interpret:
         return pltpu.bitcast(h_chunk, jnp.int8).astype(DDT)
-    R, C = h_chunk.shape
-    parts = [(((h_chunk >> jnp.uint32(8 * b)) & jnp.uint32(255))
-              .astype(jnp.int32)) for b in range(4)]
-    parts = [jnp.where(p >= 128, p - 256, p) for p in parts]
-    return jnp.stack(parts, axis=1).reshape(4 * R, C).astype(DDT)
+    return _bytes_i8(h_chunk, interpret).astype(DDT)
+
+
+def _arith_kernel(x_ref, tr_ref, o_ref, d0, d1, *, KV, tk, wm, cc, NP,
+                  v2, mode, a8, pingpong, interp):
+    """Unified planar arithmetic-trellis decode + MXU byte-sum matmul.
+
+    v2=False (tcq1): one 16-bit state per weight, scramble per `mode`
+    (1mad / 2mad), bytes stored XOR 0x80808080 so the signed-byte sum is
+    (unsigned sum - 512) and the +2*sum(x) epilogue lands the reference
+    value (bitshift.py:16-39).
+    v2=True (tcq2): one state per weight PAIR; h1 = u*A1, h2 = u*A2 with
+    SIGNED bytes and no correction (codebooks.decode_dualmad) — half the
+    window extractions per weight.
+
+    a8=False: bytes ride the MXU as exact bf16 (int8 values convert
+    losslessly) against repeat(x, 4) — bit-exact decode.
+    a8=True: bytes stay int8 and the dot runs the MXU's native
+    int8 x int8 -> int32 path against activations pre-quantized to int8
+    (global absmax scale).  ~2.2x the bf16-path throughput measured on
+    v5e (scripts/proto_fold2.py); activation quantization adds ~0.9 %
+    RMS on the rotated activations (incoherence makes them near-Gaussian,
+    so the W8A8-style error is far below the 3-bit weight error).
+
+    pingpong=True decodes alternate chunks into two scratch buffers so
+    Mosaic can overlap chunk c's dot with chunk c+1's decode (they have
+    no buffer dependency); measured win for small-m shapes."""
+    j = pl.program_id(1)
+    XOR = jnp.uint32(0x80808080)
+    A1, A2 = jnp.uint32(_MAD1_A), jnp.uint32(_MAD2_A)
+    sub = 8 if v2 else 16
+
+    def decode_tile(kt, d_ref, row0):
+        for i, u in _planar_states(tr_ref, kt, KV, NP, sub):
+            r = row0 + kt * 16
+            if v2:
+                d_ref[r:r + 8, i * wm:(i + 1) * wm] = u * A1
+                d_ref[r + 8:r + 16, i * wm:(i + 1) * wm] = u * A2
+            else:
+                d_ref[r:r + 16, i * wm:(i + 1) * wm] = \
+                    _mad_scramble(u, mode) ^ XOR
+
+    x = x_ref[0]  # (N, 4*tk*16)
+    acc = None
+    for c in range(tk // cc):
+        c0 = c * cc
+        if pingpong:
+            d_ref, row0 = (d0, -c0 * 16) if c % 2 == 0 else (d1, -c0 * 16)
+        else:
+            d_ref, row0 = d0, 0
+        for kt in range(c0, c0 + cc):
+            decode_tile(kt, d_ref, row0)
+        lo = 0 if pingpong else c0 * 16
+        chunk = d_ref[lo:lo + cc * 16, :]
+        if a8:
+            hmat = _bytes_i8(chunk, interp)
+        elif v2:
+            hmat = _bytes_as_bf16_signed(chunk, interp)
+        else:
+            hmat = _bytes_as_bf16(chunk, interp)
+        part = jax.lax.dot_general(
+            x[:, c0 * 64:(c0 + cc) * 64], hmat,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=o_ref.dtype)
+        acc = part if acc is None else acc + part
+
+    @pl.when(j == 0)
+    def _():
+        o_ref[:] = acc
+
+    @pl.when(j != 0)
+    def _():
+        o_ref[:] = o_ref[:] + acc
 
 
 def _tcq2_x4(x, gk, tk):
@@ -587,46 +543,98 @@ def _tcq2_x4(x, gk, tk):
     then odds repeated 4x — matches the scratch byte-row order (h1 block
     = even k-cols, h2 block = odd k-cols)."""
     N = x.shape[0]
-    xp = x.astype(DDT).reshape(N, gk, tk, 8, 2).transpose(1, 0, 2, 4, 3)
+    xp = x.reshape(N, gk, tk, 8, 2).transpose(1, 0, 2, 4, 3)
     x4 = jnp.repeat(xp.reshape(gk, N, tk, 16), 4, axis=3)
     return x4.reshape(gk, N, 4 * tk * 16)
 
 
-@functools.partial(jax.jit, static_argnames=("KV", "m", "k"))
-def tcq2_decode_matmul(x, tr_pl, KV: int, m: int, k: int):
-    """x (N, k); tr_pl (k/16, NP*8, m/16) uint32 planar layout
-    (formats.tcq2_planar_weights).  Returns (N, m) f32 = x @ W^T."""
+def _arith_decode_matmul(x, tr_pl, KV: int, mode: str, m: int, k: int,
+                         v2: bool, a8: bool):
+    """Shared host wrapper for tcq1/tcq2 fused decode (see _arith_kernel).
+
+    Block parameters follow the v5e sweep (scripts/proto_fold2.py):
+    wm=256 only pays on long-k row-parallel shapes; scratch ping-pong only
+    on small-m shapes."""
     from qpalette_tpu.kernels.formats import tcq1_n_planes
     N = x.shape[0]
     NP = tcq1_n_planes(KV)
     kt_total = k // 16
     tk = next(c for c in (32, 16, 8, 4, 2, 1) if kt_total % c == 0)
-    wm = _pick_width(m // 16, candidates=(128, 64))
+    if a8 and k > 8192 and (m // 16) % 256 == 0:
+        wm = 256
+    else:
+        wm = _pick_width(m // 16, candidates=(128, 64))
     gk = kt_total // tk
     gm = (m // 16) // wm
     cc = next(c for c in (8, 4, 2, 1) if tk % c == 0)
-    x4 = _tcq2_x4(x, gk, tk)
+    pingpong = a8 and m <= 4096 and tk // cc >= 2
+
+    if v2:
+        xp = _tcq2_x4(x, gk, tk)
+    else:
+        xp = jnp.repeat(x.reshape(N, gk, tk * 16).transpose(1, 0, 2), 4,
+                        axis=2)
+    sx = None
+    if a8:
+        sx = (jnp.max(jnp.abs(xp.astype(jnp.float32)))
+              / 127.0 + 1e-30).astype(jnp.float32)
+        xp = jnp.round(xp.astype(jnp.float32) / sx).astype(jnp.int8)
+        odtype = jnp.int32
+    else:
+        xp = xp.astype(DDT)
+        odtype = ACC
     interp = _interpret()
+    rows = (cc if pingpong else tk) * 16
+    scratch = [pltpu.VMEM((rows, 16 * wm), jnp.uint32),
+               pltpu.VMEM((rows, 16 * wm) if pingpong else (8, 128),
+                          jnp.uint32)]
     out = pl.pallas_call(
-        functools.partial(_tcq2_kernel, KV=KV, tk=tk, wm=wm, cc=cc, NP=NP,
+        functools.partial(_arith_kernel, KV=KV, tk=tk, wm=wm, cc=cc, NP=NP,
+                          v2=v2, mode=mode, a8=a8, pingpong=pingpong,
                           interp=interp),
-        out_shape=jax.ShapeDtypeStruct((N, m), ACC),
+        out_shape=jax.ShapeDtypeStruct((N, m), odtype),
         grid=(gm, gk),
         in_specs=[
             pl.BlockSpec((1, N, 4 * tk * 16), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk, NP * 8, wm), lambda i, j: (j, 0, i),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, NP * (8 if v2 else 16), wm),
+                         lambda i, j: (j, 0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((N, 16 * wm), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((tk * 16, 16 * wm), jnp.uint32)],
+        scratch_shapes=scratch,
         compiler_params=_cparams(),
-        interpret=_interpret(),
-    )(x4, tr_pl)
+        interpret=interp,
+    )(xp, tr_pl)
+    out = out.astype(jnp.float32)
+    if a8:
+        out = out * sx
+    if not v2:  # XOR'd bytes: signed sum = unsigned - 512 => +2 epilogue
+        sumx = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
+        out = (out + 2.0 * sumx) * _MAD_INV
+    else:
+        out = out * _MAD_INV
     # block column order is (m-row-in-tile, mcol)
     return (out.reshape(N, gm, 16, wm).transpose(0, 1, 3, 2)
             .reshape(N, m))
+
+
+@functools.partial(jax.jit, static_argnames=("KV", "mode", "m", "k", "a8"))
+def tcq1_decode_matmul(x, tr_pl, KV: int, mode: str, m: int, k: int,
+                       a8: bool = False):
+    """x (N, k); tr_pl (k/16, NP*16, m/16) uint32 planar layout
+    (formats.tcq1_planar_weights).  Returns (N, m) f32 = x @ W^T.
+
+    mode in {1mad, 2mad}; a8=True uses the int8-activation MXU path."""
+    return _arith_decode_matmul(x, tr_pl, KV, mode, m, k, v2=False, a8=a8)
+
+
+@functools.partial(jax.jit, static_argnames=("KV", "m", "k", "a8"))
+def tcq2_decode_matmul(x, tr_pl, KV: int, m: int, k: int, a8: bool = False):
+    """x (N, k); tr_pl (k/16, NP*8, m/16) uint32 planar layout
+    (formats.tcq2_planar_weights).  Returns (N, m) f32 = x @ W^T."""
+    return _arith_decode_matmul(x, tr_pl, KV, "dualmad", m, k, v2=True,
+                                a8=a8)
 
 
 def _tcq2_dequant_kernel(tr_ref, o_ref, *, KV, tk, wm, NP):
@@ -691,21 +699,11 @@ def tcq2_dequant(tr_pl, KV: int, m: int, k: int):
 # (lib/linear/tcq_linear.py:75-84).
 # ---------------------------------------------------------------------------
 
-def _tcq1_dequant_kernel(tr_ref, o_ref, *, KV, tk, wm, NP):
-    M16 = jnp.uint32(0xFFFF)
+def _tcq1_dequant_kernel(tr_ref, o_ref, *, KV, tk, wm, NP, mode):
     MPAIR = jnp.uint32(0x00FF00FF)
-    A, B = jnp.uint32(_MAD1_A), jnp.uint32(_MAD1_B)
     for kt in range(tk):
-        planes = [tr_ref[kt, jj * 16:(jj + 1) * 16, :] for jj in range(NP)]
-        for i in range(16):
-            off = KV * i
-            j0, sh = off >> 5, off & 31
-            if sh + 16 <= 32:
-                u = planes[j0] >> jnp.uint32(sh) if sh else planes[j0]
-            else:
-                u = ((planes[j0] >> jnp.uint32(sh))
-                     | (planes[j0 + 1] << jnp.uint32(32 - sh)))
-            h = (u & M16) * A + B
+        for i, u in _planar_states(tr_ref, kt, KV, NP, 16):
+            h = _mad_scramble(u, mode)
             # full VPU byte-sum (one-shot path; the fused kernel moves this
             # onto the MXU instead)
             t2 = (h & MPAIR) + ((h >> jnp.uint32(8)) & MPAIR)
@@ -716,9 +714,9 @@ def _tcq1_dequant_kernel(tr_ref, o_ref, *, KV, tk, wm, NP):
                 val.astype(DDT)
 
 
-@functools.partial(jax.jit, static_argnames=("KV", "m", "k"))
-def tcq1_dequant(tr_pl, KV: int, m: int, k: int):
-    """planar trellis -> W^T (k, m) bf16 in HBM."""
+@functools.partial(jax.jit, static_argnames=("KV", "m", "k", "mode"))
+def tcq1_dequant(tr_pl, KV: int, m: int, k: int, mode: str = "1mad"):
+    """planar trellis -> W^T (k, m) bf16 in HBM (1mad or 2mad decode)."""
     from qpalette_tpu.kernels.formats import tcq1_n_planes
     NP = tcq1_n_planes(KV)
     kt_total = k // 16
@@ -727,7 +725,8 @@ def tcq1_dequant(tr_pl, KV: int, m: int, k: int):
     gk = kt_total // tk
     gm = (m // 16) // wm
     out = pl.pallas_call(
-        functools.partial(_tcq1_dequant_kernel, KV=KV, tk=tk, wm=wm, NP=NP),
+        functools.partial(_tcq1_dequant_kernel, KV=KV, tk=tk, wm=wm, NP=NP,
+                          mode=mode),
         out_shape=jax.ShapeDtypeStruct((k, m), DDT),
         grid=(gm, gk),
         in_specs=[pl.BlockSpec((tk, NP * 16, wm), lambda i, j: (j, 0, i),
@@ -888,7 +887,8 @@ def dequant_weight_kernelfmt(spec, p, luts):
     """Kernel-format params -> dense W^T (in, out) bf16 (dequant-only)."""
     m, n = spec.out_features, spec.in_features
     if spec.kind == "tcq1":
-        return tcq1_dequant(p["trellis_pl"], spec.KV[0], m, n)
+        return tcq1_dequant(p["trellis_pl"], spec.KV[0], m, n,
+                            mode=spec.mode)
     if spec.kind == "tcq2":
         return tcq2_dequant(p["trellis_pl"], spec.KV[0], m, n)
     if spec.kind == "tcq":
@@ -918,14 +918,61 @@ def dequant_weight_kernelfmt(spec, p, luts):
 
 
 # ---------------------------------------------------------------------------
+# int8 dense GEMV (per-row-quantized lm_head / embeddings; the reference
+# keeps lm_head fp16 — this is a TPU-side traffic optimization, halving the
+# 1.05 GB/token bf16 lm_head stream for bs=1 decode)
+# ---------------------------------------------------------------------------
+
+def _i8gemv_kernel(x_ref, w_ref, s_ref, o_ref):
+    acc = jax.lax.dot_general(
+        x_ref[:], w_ref[:].astype(DDT), (((1,), (0,)), ((), ())),
+        preferred_element_type=ACC)
+    o_ref[:] = acc * s_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("m", "k"))
+def int8_gemv(x, wq_t, scales, m: int, k: int):
+    """x (N<=8, k) bf16; wq_t (k, m) int8; scales (1, m) f32 -> (N, m) f32.
+
+    Streams the int8 weights straight from HBM through a bf16 convert into
+    the MXU — bandwidth-bound at half the bf16 bytes."""
+    N = x.shape[0]
+    bm = _pick_width(m, candidates=(512, 256, 128))
+    out = pl.pallas_call(
+        _i8gemv_kernel,
+        out_shape=jax.ShapeDtypeStruct((N, m), ACC),
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((N, k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bm), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((N, bm), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        compiler_params=(pltpu.CompilerParams(
+            dimension_semantics=("parallel",)) if _cparams() else None),
+        interpret=_interpret(),
+    )(x.astype(DDT), wq_t, scales)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # dispatch used by runtime/qlinear.py (impl='pallas')
 # ---------------------------------------------------------------------------
 
 def decode_matmul(spec, p, z, luts):
     """Fused path entry: expects kernel-format params prepared by the
-    loader (keys qweight_t / trellis_kt / clut)."""
+    loader (keys qweight_t / trellis_kt / clut).
+
+    impl 'pallas_a8' selects the int8-activation MXU path for the
+    arithmetic-trellis kinds (the TPU analogue of the reference's SIMT
+    kernel-variant flag; see _arith_kernel)."""
     m, n = spec.out_features, spec.in_features
     zb = z.astype(DDT)
+    a8 = spec.impl == "pallas_a8"
     if spec.kind == "vq":
         return vq_decode_matmul(zb, p["qweight_t"], p["clut"],
                                 spec.bits, spec.vec, m, n)
@@ -934,9 +981,10 @@ def decode_matmul(spec, p, z, luts):
                                  spec.KV[0], spec.tlut_bits, m, n)
     if spec.kind == "tcq1":
         return tcq1_decode_matmul(zb, p["trellis_pl"], spec.KV[0],
-                                  spec.mode, m, n)
+                                  spec.mode, m, n, a8=a8)
     if spec.kind == "tcq2":
-        return tcq2_decode_matmul(zb, p["trellis_pl"], spec.KV[0], m, n)
+        return tcq2_decode_matmul(zb, p["trellis_pl"], spec.KV[0], m, n,
+                                  a8=a8)
     if spec.kind == "tcomb":
         if "trellisc_kt" in p:  # fused one-kernel path
             return tcomb_decode_matmul(zb, p["trellisc_kt"], p["clut"],

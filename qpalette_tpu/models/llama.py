@@ -417,7 +417,23 @@ def forward(spec: ModelSpec, params: Params, tokens: jax.Array,
     x = rms_norm(x, params["ln_f"], cfg.rms_eps)
     if return_hidden:
         return (x, new_caches) if kv_caches is not None else x
-    logits = x.astype(jnp.float32) @ params["lm_head"].T.astype(jnp.float32)
+    if "lm_head_q" in params:
+        # int8 per-row-quantized lm_head (TPU traffic optimization; the
+        # reference keeps lm_head fp16)
+        xf = x.reshape(-1, cfg.hidden_size)
+        if xf.shape[0] <= 8:
+            from qpalette_tpu.kernels.fused import int8_gemv
+            logits = int8_gemv(xf, params["lm_head_q"],
+                               params["lm_head_s"], cfg.vocab_size,
+                               cfg.hidden_size)
+        else:  # prefill/eval: one dequant + plain MXU matmul
+            w = (params["lm_head_q"].astype(jnp.bfloat16)
+                 * params["lm_head_s"].astype(jnp.bfloat16))
+            logits = xf.astype(jnp.float32) @ w.astype(jnp.float32)
+        logits = logits.reshape(B, S, cfg.vocab_size)
+    else:
+        logits = (x.astype(jnp.float32)
+                  @ params["lm_head"].T.astype(jnp.float32))
     if kv_caches is not None:
         return logits, new_caches
     return logits

@@ -183,6 +183,73 @@ def _group_options(qlist, lat_coeffs, group, use_impl_choice):
     return opts
 
 
+def _milp_lat(nl, attn_parts, mlp_parts, group_opts, opt_err_fn, opt_mem_fn,
+              lat_limit, mem_budget):
+    """Exact fusion-aware MILP (reference solve_lat_const.py:54-136):
+    binary y[layer, group, option]; each base projection covered exactly
+    once per layer; Σ latency ≤ limit (+ optional Σ mem ≤ budget);
+    minimize Σ err.  Solved with scipy-HiGHS."""
+    try:
+        from scipy.optimize import milp, LinearConstraint, Bounds
+        from scipy.sparse import lil_matrix
+    except ImportError:
+        return None
+    # enumerate variables
+    var_meta = []  # (layer, group, qstr, impl, err, lat, mem)
+    groups = sorted(group_opts)
+    for lidx in range(nl):
+        for g in groups:
+            for (qstr, im, lat) in group_opts[g]:
+                var_meta.append((lidx, g, qstr, im,
+                                 opt_err_fn(lidx, g, qstr), lat,
+                                 opt_mem_fn(g, qstr)))
+    nvar = len(var_meta)
+    bases = ["q", "k", "v", "o", "u", "g", "d"]
+    cover_rows = {(l, b): i for i, (l, b) in enumerate(
+        (l, b) for l in range(nl) for b in bases)}
+    nrows = len(cover_rows) + 1 + (1 if mem_budget is not None else 0)
+    A = lil_matrix((nrows, nvar))
+    lat_row = len(cover_rows)
+    mem_row = lat_row + 1
+    c = np.zeros(nvar)
+    for vi, (lidx, g, qstr, im, e, lat, mm) in enumerate(var_meta):
+        c[vi] = e
+        for b in MERGE_GROUPS.get(g, (g,)):
+            A[cover_rows[(lidx, b)], vi] = 1.0
+        A[lat_row, vi] = lat
+        if mem_budget is not None:
+            A[mem_row, vi] = mm
+    lb = np.ones(len(cover_rows))
+    ub = np.ones(len(cover_rows))
+    # HiGHS satisfies row bounds only to its (absolute ~1e-6) feasibility
+    # tolerance; pull the resource caps in so returned solutions are
+    # strictly feasible for the caller's hard limit
+    lb = np.concatenate([lb, [0.0]])
+    ub = np.concatenate([ub, [lat_limit - max(2e-6, 1e-4 * lat_limit)]])
+    if mem_budget is not None:
+        lb = np.concatenate([lb, [0.0]])
+        ub = np.concatenate([ub, [mem_budget * (1.0 - 1e-5)]])
+    res = milp(c=c, constraints=LinearConstraint(A.tocsr(), lb, ub),
+               integrality=np.ones(nvar), bounds=Bounds(0, 1),
+               options={"time_limit": 60.0})
+    if not res.success:
+        return None
+    qdict = {}
+    merge_info = [[] for _ in range(nl)]
+    terr = tlat = tmem = 0.0
+    for vi, (lidx, g, qstr, im, e, lat, mm) in enumerate(var_meta):
+        if res.x[vi] < 0.5:
+            continue
+        terr += e
+        tlat += lat
+        tmem += mm
+        for b in MERGE_GROUPS.get(g, (g,)):
+            qdict[f"{lidx}_{SIMPLE2KEY[b]}"] = (qstr, im)
+        if len(g) > 1:
+            merge_info[lidx].append(f"merge_{g}")
+    return qdict, merge_info, terr, tlat, tmem
+
+
 def solve_lat_constrained(cfg: LlamaConfig, qlist: List[str],
                           err_table: Dict[str, float],
                           lat_coeffs: Dict[str, float],
@@ -191,9 +258,15 @@ def solve_lat_constrained(cfg: LlamaConfig, qlist: List[str],
                           mem_target_bits: Optional[float] = None,
                           num_layers: Optional[int] = None,
                           no_fuse: bool = False,
-                          use_impl_choice: bool = False) -> LatSolution:
-    """Fusion-aware latency-constrained MSQ via per-layer Lagrangian
-    decomposition + bisection on the latency multiplier.
+                          use_impl_choice: bool = False,
+                          exact: bool = True) -> LatSolution:
+    """Fusion-aware latency-constrained MSQ.
+
+    exact=True solves the reference's MILP formulation exactly with
+    scipy-HiGHS (solve_lat_const.py:54-136); the per-layer Lagrangian
+    decomposition + multiplier bisection remains as the fast path /
+    fallback (its duality gap is checked in tests/test_msq.py against the
+    exact solution).
 
     lat_coeffs: {f"{group}_{qstr}_{False|True}": seconds} + {"constant": s},
     the same schema as the reference asset
@@ -279,6 +352,15 @@ def solve_lat_constrained(cfg: LlamaConfig, qlist: List[str],
                     mlist.append(f"merge_{g}")
             merge_info.append(mlist)
         return qdict, merge_info, terr, tlat, tmem
+
+    if exact:
+        out = _milp_lat(nl, attn_parts, mlp_parts, group_opts, opt_err,
+                        opt_mem, lat_limit, mem_budget)
+        if out is not None:
+            qdict, merge_info, terr, tlat, _ = out
+            return LatSolution(qdict, merge_info,
+                               tlat + float(lat_coeffs.get("constant", 0.0)),
+                               terr)
 
     # bisection on the latency multiplier (mem multiplier: outer loop)
     def bisect_lat(lam_mem):

@@ -42,7 +42,6 @@ def _collect_step(spec, params, tokens, Hs):
     cfg = spec.config
     B, S = tokens.shape
     x = jnp.take(params["embed"], tokens, axis=0).astype(cfg.dtype)
-    mask = llama._causal_mask(S, S, 0)
     pos = jnp.arange(S)[None, :]
     cos, sin = llama.rope_tables(pos, cfg.head_dim, cfg.rope_theta)
 
@@ -51,7 +50,7 @@ def _collect_step(spec, params, tokens, Hs):
         lp = params["layers"][li]
         h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
         N = h.shape[-1]
-        a, _ = llama.attn_forward(aspec, cfg, lp, h, cos, sin, mask=mask,
+        a, _ = llama.attn_forward(aspec, cfg, lp, h, cos, sin, offset=0,
                                   luts=params.get("luts", {}))
         x = x + a
         h2 = rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
@@ -60,8 +59,8 @@ def _collect_step(spec, params, tokens, Hs):
         hq = h.reshape(-1, N).astype(jnp.float32)
         hu = h2.reshape(-1, N).astype(jnp.float32)
         # recompute inner activations for o/down inputs
-        o_in, dp_in = _inner_inputs(aspec, mspec, cfg, lp, h, h2, cos, sin,
-                                    mask)
+        o_in, dp_in = _inner_inputs(aspec, mspec, cfg, lp, h, h2, cos,
+                                    sin)
         Hq, Ho, Hu, Hd = Hs[li]
         new_Hs.append((
             Hq + hq.T @ hq,
@@ -75,7 +74,7 @@ def _collect_step(spec, params, tokens, Hs):
     return new_Hs
 
 
-def _inner_inputs(aspec, mspec, cfg, lp, h, h2, cos, sin, mask):
+def _inner_inputs(aspec, mspec, cfg, lp, h, h2, cos, sin):
     """Recompute o-proj and down-proj inputs (pre-rotation)."""
     from qpalette_tpu.models.llama import (_attention, _rotate_in,
                                            apply_rope, qlinear_apply)
@@ -108,7 +107,7 @@ def _inner_inputs(aspec, mspec, cfg, lp, h, h2, cos, sin, mask):
     vv = vv.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
     qq = apply_rope(qq, cos, sin)
     kk = apply_rope(kk, cos, sin)
-    att = _attention(qq, kk, vv, mask, cfg)
+    att = _attention(qq, kk, vv, 0, cfg)
     o_in = att.reshape(-1, N).astype(jnp.float32)
 
     rotated_m = mspec.projs[0][1].kind != "dense"

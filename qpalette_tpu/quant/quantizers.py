@@ -80,15 +80,32 @@ def _stack_tile_codes(states: jax.Array, m: int, n: int,
     return states.transpose(1, 0, 2).reshape((m // TD) * (n // TD), 256 // v)
 
 
-@functools.partial(jax.jit, static_argnames=("KV", "use_hess", "v"))
-def _tcq_core(Wr, H, lut, KV: int, use_hess: bool, v: int = 2):
+@functools.partial(jax.jit, static_argnames=("KV", "use_hess", "v", "beam"))
+def _tcq_core(Wr, H, lut, KV: int, use_hess: bool, v: int = 2,
+              beam: int = 0):
     m, n = Wr.shape
-    L = _ldl_or_zero(H if use_hess else None, n, TD)
     kmajor = (v == 1)
+    if use_hess:
+        Hr = regularize_h(H.astype(jnp.float32))
+        L, D = block_ldl(Hr, TD)
+        L = L.astype(jnp.float32)
+    else:
+        L = jnp.zeros((n, n), jnp.float32)
+        D = jnp.tile(jnp.eye(TD, dtype=jnp.float32), (n // TD, 1, 1))
 
-    def qblock(E, _idx):
+    def qblock(E, idx):
         seqs = _block_to_seqs(E, kmajor)
         hat, states = tcq_quantize(seqs, lut, KV, v=v)
+        if beam > 0:
+            # Hessian-weighted beam refinement of each tile sequence
+            # under the residual weight D[idx] (reference
+            # ldlq_beam_cd.py:63-70 intent; quant/beam.py)
+            from qpalette_tpu.quant.beam import tcq_quantize_beam
+            Dc = jnp.take(D, idx, axis=0)
+            eye = jnp.eye(TD, dtype=jnp.float32)
+            Dt = jnp.kron(Dc, eye) if kmajor else jnp.kron(eye, Dc)
+            hat, states = tcq_quantize_beam(seqs, lut, Dt, states, KV,
+                                            v=v, beam=beam)
         return _seqs_to_block(hat, m, kmajor), states
 
     hatW, states = ldlq(Wr, L, qblock, block=TD)
@@ -172,11 +189,15 @@ def _vq_ldlq_core(Wr, H, lut, bits: int, vec: int, use_hess: bool):
 # dequantized (still-rotated, unit-scale) weight for error reporting.
 # ---------------------------------------------------------------------------
 
-def quantize_mat_tcq(Wr, H, KV: int, use_hess: bool = False):
+def quantize_mat_tcq(Wr, H, KV: int, use_hess: bool = False,
+                     beam: int = 0):
+    """beam > 0 adds Hessian-weighted beam refinement per tile (the
+    reference's ldlq_beam_cd beam branch; slow — quality research)."""
     tlut_bits = tlut_bits_for_kv(KV)
     lut = jnp.asarray(trellis_lut(tlut_bits))
     hatW, packed = _tcq_core(Wr, H if H is not None else Wr[:1, :1] * 0,
-                             lut, KV, use_hess and H is not None)
+                             lut, KV, use_hess and H is not None,
+                             beam=beam)
     linear = {
         "kind": "tcq", "KV": KV, "tlut_bits": tlut_bits,
         "trellis": np.asarray(packed),
@@ -186,13 +207,14 @@ def quantize_mat_tcq(Wr, H, KV: int, use_hess: bool = False):
 
 
 def quantize_mat_tcq1(Wr, H, KV: int, mode: str = "1mad",
-                      use_hess: bool = False):
+                      use_hess: bool = False, beam: int = 0):
     """V=1 trellis with an arithmetic (gather-free) decoder — reference
     decode modes 1mad/2mad (bitshift.py:16-39, 110-117).  KV bits/weight;
     the TPU decode kernel computes the LCG+byte-sum inline (no LUT)."""
     lut = jnp.asarray(trellis_lut_arith(mode))
     hatW, packed = _tcq_core(Wr, H if H is not None else Wr[:1, :1] * 0,
-                             lut, KV, use_hess and H is not None, v=1)
+                             lut, KV, use_hess and H is not None, v=1,
+                             beam=beam)
     linear = {
         "kind": "tcq1", "KV": KV, "decode_mode": mode,
         "trellis": np.asarray(packed),

@@ -24,7 +24,11 @@ def ce_loss(spec, params, tokens, chunk: int = 1024):
     The lm_head matmul + log-softmax run over sequence chunks so ctx-8192
     never materializes (B, S, vocab) f32 (4.2 GB for Llama-3 vocab)."""
     h = llama.forward(spec, params, tokens, return_hidden=True)  # (B,S,hid)
-    lm = params["lm_head"].astype(jnp.float32)
+    if "lm_head_q" in params:
+        lm = (params["lm_head_q"].astype(jnp.float32)
+              * params["lm_head_s"].astype(jnp.float32)).T
+    else:
+        lm = params["lm_head"].astype(jnp.float32)
     B, S = tokens.shape
     total = jnp.float32(0.0)
     for c0 in range(0, S - 1, chunk):

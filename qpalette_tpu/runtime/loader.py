@@ -117,7 +117,7 @@ def _params_from_artifact(art: dict, dtype, impl: str = "xla") -> dict:
         # (uploading GBs of host-side random weights through the tunnel
         # would dominate bench startup)
         key = jax.random.PRNGKey(int(art["__device_dummy__"]))
-        if impl == "pallas":
+        if impl in ("pallas", "pallas_a8"):
             from qpalette_tpu.kernels import formats as kf
             if kind == "tcq":
                 KV = meta["KV"]
@@ -187,7 +187,7 @@ def _params_from_artifact(art: dict, dtype, impl: str = "xla") -> dict:
             p["qweight"] = _rand_u32(key, (m, nw))
             p["lut"] = jnp.asarray(vq_lut(bits, vec), dtype)
         return p
-    if impl == "pallas":
+    if impl in ("pallas", "pallas_a8"):
         from qpalette_tpu.kernels import formats as kf
 
         def tlut_arr():
@@ -380,7 +380,8 @@ def build_quantized_model(cfg: LlamaConfig, qdict, merge_info=None,
                           dense_params: Optional[dict] = None,
                           dummy: bool = False, impl: str = "xla",
                           num_layers: Optional[int] = None,
-                          row_parallel_tp: int = 1):
+                          row_parallel_tp: int = 1,
+                          lm_head_bits: int = 16):
     """Assemble (ModelSpec, params) for a quantized Llama.
 
     qdict: quantizer_str, or dict {f"{i}_{key}": qstr | (qstr, simt)}.
@@ -529,6 +530,13 @@ def build_quantized_model(cfg: LlamaConfig, qdict, merge_info=None,
                                  (cfg.vocab_size, cfg.hidden_size)) * scale,
                                  dtype))
         params["ln_f"] = jnp.ones((cfg.hidden_size,), dtype)
+    if lm_head_bits == 8:
+        # per-row symmetric int8 lm_head, stored transposed (k, vocab) for
+        # the decode GEMV kernel (kernels/fused.int8_gemv)
+        w = params.pop("lm_head").astype(jnp.float32)
+        s = jnp.max(jnp.abs(w), axis=1, keepdims=True) / 127.0 + 1e-12
+        params["lm_head_q"] = jnp.round(w / s).astype(jnp.int8).T
+        params["lm_head_s"] = s.astype(jnp.float32).T  # (1, vocab)
     return spec, params
 
 

@@ -95,13 +95,13 @@ def qlinear_apply(spec: LinearSpec, p: dict, z: jax.Array,
             z, p["w"], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         return (y * p["wscale"][None, :].astype(jnp.float32)).astype(z.dtype)
-    if spec.impl == "pallas" and z.shape[0] <= 8:
+    if spec.impl in ("pallas", "pallas_a8") and z.shape[0] <= 8:
         # fused decode+matmul for the decode regime; larger row counts
         # (prefill / big batch) dequantize and ride the MXU directly —
         # the reference's own bs<=8 / bs>8 split (tcq_linear.py:64-84).
         from qpalette_tpu.kernels import fused
         y = fused.decode_matmul(spec, p, z, luts)
-    elif spec.impl == "pallas":
+    elif spec.impl in ("pallas", "pallas_a8"):
         from qpalette_tpu.kernels import fused
         w = fused.dequant_weight_kernelfmt(spec, p, luts).astype(z.dtype)
         y = jax.lax.dot_general(

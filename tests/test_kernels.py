@@ -242,3 +242,53 @@ def test_large_batch_falls_back_to_dequant_matmul():
     y_big = np.asarray(qlinear_apply(spec, p, x_big).astype(jnp.float32))
     assert np.allclose(y_big[:2], y_small, atol=3e-2, rtol=3e-2), \
         np.abs(y_big[:2] - y_small).max()
+
+
+def test_tcq1_2mad_kernel_matches_reference():
+    """2mad decode (hi32 limb emulation) == executable spec."""
+    from qpalette_tpu.ops.codebooks import trellis_lut_arith
+    KV, m, k = 3, 64, 128
+    rng = np.random.default_rng(8)
+    ntiles = (m // 16) * (k // 16)
+    words = rng.integers(0, 1 << 32, (ntiles, 8 * KV), dtype=np.uint32)
+    lut = trellis_lut_arith("2mad")
+    W = packing.dequant_tcq(jnp.asarray(words), jnp.asarray(lut), m, k, KV,
+                            v=1)
+    x = jnp.asarray(rng.standard_normal((2, k)).astype(np.float32))
+    y_ref = np.asarray(x.astype(jnp.bfloat16).astype(jnp.float32) @ W.T)
+    tr_pl = kf.tcq1_planar_weights(jnp.asarray(words), m, k, KV)
+    y = np.asarray(fused.tcq1_decode_matmul(x.astype(jnp.bfloat16), tr_pl,
+                                            KV, "2mad", m, k))
+    rel = np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-9)
+    assert rel < 0.03, rel
+    Wt = np.asarray(fused.tcq1_dequant(tr_pl, KV, m, k, mode="2mad")
+                    ).astype(np.float32)
+    assert np.allclose(Wt, np.asarray(W).T, atol=2e-2)
+
+
+@pytest.mark.parametrize("v2", [False, True])
+def test_a8_path_close_to_exact(v2):
+    """int8-activation MXU path: ~1% of exact (activation quantization
+    only; weights decode identically)."""
+    rng = np.random.default_rng(9)
+    m, k = 64, 128
+    if v2:
+        KV = 6
+        words = rng.integers(0, 1 << 32, ((m // 16) * (k // 16), 4 * KV),
+                             dtype=np.uint32)
+        tr_pl = kf.tcq2_planar_weights(jnp.asarray(words), m, k, KV)
+        f = lambda x, a8: fused.tcq2_decode_matmul(x, tr_pl, KV, m, k,
+                                                   a8=a8)
+    else:
+        KV = 3
+        words = rng.integers(0, 1 << 32, ((m // 16) * (k // 16), 8 * KV),
+                             dtype=np.uint32)
+        tr_pl = kf.tcq1_planar_weights(jnp.asarray(words), m, k, KV)
+        f = lambda x, a8: fused.tcq1_decode_matmul(x, tr_pl, KV, "1mad",
+                                                   m, k, a8=a8)
+    x = jnp.asarray(rng.standard_normal((2, k)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    y_exact = np.asarray(f(x, False))
+    y_a8 = np.asarray(f(x, True))
+    rel = np.abs(y_a8 - y_exact).max() / (np.abs(y_exact).max() + 1e-9)
+    assert rel < 0.05, rel

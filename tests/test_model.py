@@ -191,3 +191,25 @@ def test_quantized_kv_cache_decode(dense_setup):
     rel = float(np.mean((np.asarray(l16b) - np.asarray(l8b)) ** 2)
                 / (np.mean(np.asarray(l16b) ** 2) + 1e-9))
     assert rel < 1e-3, rel
+
+
+def test_int8_lm_head_close_to_bf16(dense_setup, tmp_path):
+    dp, _, _ = dense_setup
+    q16, p16 = build_quantized_model(
+        CFG, "ldlq_1_8_none_1.0", model_key="tiny_lm8",
+        save_dir=str(tmp_path), dense_params=dp)
+    q8, p8 = build_quantized_model(
+        CFG, "ldlq_1_8_none_1.0", model_key="tiny_lm8",
+        save_dir=str(tmp_path), dense_params=dp, lm_head_bits=8)
+    assert "lm_head_q" in p8 and "lm_head" not in p8
+    toks = jnp.asarray(np.arange(4)[None, :] % CFG.vocab_size, jnp.int32)
+    l16 = np.asarray(forward(q16, p16, toks))
+    l8 = np.asarray(forward(q8, p8, toks))  # rows<=8: int8_gemv path
+    rel = np.abs(l8 - l16).max() / (np.abs(l16).max() + 1e-9)
+    assert rel < 0.02, rel
+    # prefill/eval branch (rows > 8)
+    toks2 = jnp.asarray(np.arange(16)[None, :] % CFG.vocab_size, jnp.int32)
+    l16b = np.asarray(forward(q16, p16, toks2))
+    l8b = np.asarray(forward(q8, p8, toks2))
+    rel2 = np.abs(l8b - l16b).max() / (np.abs(l16b).max() + 1e-9)
+    assert rel2 < 0.02, rel2

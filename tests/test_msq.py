@@ -155,3 +155,23 @@ TCQ 6 9 14336 2048 700.0
     sol = solve_lat_constrained(CFG, list(QDICT_LAT), errs, table,
                                 target_thp=20.0)
     assert sol.qdict
+
+
+def test_lat_milp_exact_vs_lagrangian():
+    """Exact HiGHS MILP (reference solve_lat_const.py formulation) must be
+    feasible and at least as good as the Lagrangian decomposition."""
+    qlist = list(QDICT_LAT)[:12]
+    errs = _fake_err_table(qlist)
+    lat = _fake_lat_coeffs(qlist)
+    target = 1.0 / (32 * 7 * 2e-5)  # loose-ish target
+    sol_ex = solve_lat_constrained(CFG, qlist, errs, lat, target,
+                                   num_layers=4, exact=True)
+    sol_lg = solve_lat_constrained(CFG, qlist, errs, lat, target,
+                                   num_layers=4, exact=False)
+    limit = 1.0 / target
+    assert sol_ex.est_latency <= limit + 1e-9
+    assert sol_lg.est_latency <= limit + 1e-9
+    assert sol_ex.est_err <= sol_lg.est_err + 1e-12, \
+        (sol_ex.est_err, sol_lg.est_err)
+    # coverage: every proj assigned exactly once per layer
+    assert len(sol_ex.qdict) == 4 * 7

@@ -346,3 +346,27 @@ def test_als_vec2_full_hessian_runs():
     dec = packing.dequant_lut(jnp.asarray(linear["qweight"]),
                               jnp.asarray(linear["lut"]), m, n, 4, 2)
     assert np.allclose(np.asarray(dec), np.asarray(hat), atol=1e-5)
+
+
+def test_beam_refinement_improves_weighted_objective():
+    """Beam-refined TCQ must not worsen tr(E H E^T) vs plain Viterbi LDLQ
+    and must keep a packable (tail-biting) code (reference ldlq_beam_cd
+    intent; quant/beam.py)."""
+    rng = np.random.default_rng(12)
+    m, n, KV = 32, 32, 4
+    W = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
+    X = rng.standard_normal((128, n)).astype(np.float32)
+    H = jnp.asarray((X.T @ X / 128).astype(np.float32))
+    Hn = np.asarray(regularize_h(H))
+
+    def obj(hat):
+        E = np.asarray(hat) - np.asarray(W)
+        return float(np.trace(E @ Hn @ E.T))
+
+    l0, hat0 = quantizers.quantize_mat_tcq(W, H, KV, use_hess=True)
+    l1, hat1 = quantizers.quantize_mat_tcq(W, H, KV, use_hess=True, beam=8)
+    assert obj(hat1) <= obj(hat0) + 1e-4, (obj(hat0), obj(hat1))
+    # packed code decodes to exactly hat1 (valid circular bitstream)
+    lut = jnp.asarray(trellis_lut(l1["tlut_bits"]))
+    dec = packing.dequant_tcq(jnp.asarray(l1["trellis"]), lut, m, n, KV)
+    assert np.allclose(np.asarray(dec), np.asarray(hat1), atol=1e-5)
