@@ -25,14 +25,18 @@ def main():
     ap.add_argument("--quantizer_str", default=None)
     ap.add_argument("--ctx_size", type=int, default=8192)
     ap.add_argument("--save_dir", default="quant_results")
-    ap.add_argument("--impl", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--impl", default="xla", choices=["xla", "pallas", "pallas_a8"])
     ap.add_argument("--num_layers", type=int, default=-1)
     ap.add_argument("--re_eval", action="store_true")
+    ap.add_argument("--hess_path", default=None,
+                    help="npz of {i}_{group}: H from collect_hessians.py")
+    ap.add_argument("--dataset", default="wikitext2",
+                    choices=["wikitext2", "ptb", "c4"])
     args = ap.parse_args()
 
     from qpalette_tpu.runtime.loader import (MODEL_KEYS, CONFIGS,
                                              build_quantized_model)
-    from qpalette_tpu.runtime.evaluate import eval_ppl, wikitext2_tokens
+    from qpalette_tpu.runtime.evaluate import eval_ppl, DATASET_LOADERS
     from qpalette_tpu.models.hf_weights import (find_local_checkpoint,
                                                 load_dense_params,
                                                 config_from_hf)
@@ -65,17 +69,22 @@ def main():
     print(f"loading dense weights from {ckpt} ({nl} layers)")
     dense = load_dense_params(ckpt, cfg, num_layers=nl)
 
+    hess = None
+    if args.hess_path:
+        import numpy as np
+        hess = dict(np.load(args.hess_path))
+
     spec, params = build_quantized_model(
         cfg, qdict, merge_info=merge_info, model_key=model_key,
         save_dir=args.save_dir, seed=args.seed, dense_params=dense,
-        impl=args.impl, num_layers=nl)
+        impl=args.impl, num_layers=nl, hess=hess)
 
-    toks = wikitext2_tokens(args.model)
+    toks = DATASET_LOADERS[args.dataset](args.model)
     ppl, avg_loss = eval_ppl(spec, params, toks, ctx_size=args.ctx_size)
     print(f"ppl: {ppl}, avg_loss: {avg_loss}")
 
     os.makedirs(os.path.dirname(result_path) or ".", exist_ok=True)
-    json.dump({"wikitext2": {"ppl": ppl, "avg_loss": avg_loss}},
+    json.dump({args.dataset: {"ppl": ppl, "avg_loss": avg_loss}},
               open(result_path + ".json", "w"), indent=1)
     with open(result_path + ".txt", "w") as f:
         f.write(f"wikitext2, {ppl}, {avg_loss}\n")

@@ -352,7 +352,7 @@ def dummy_artifact(qstr: str, shape, seed: int = 0) -> dict:
 # ---------------------------------------------------------------------------
 
 def _get_artifact(cfg, model_key, layer, key, qstr, save_dir, seed,
-                  dense_w=None, dummy=False, rot_blocks=1):
+                  dense_w=None, dummy=False, rot_blocks=1, H=None):
     if dummy:
         art = dummy_artifact(qstr, proj_shape(cfg, key),
                              seed=abs(hash((layer, key))) % (1 << 31))
@@ -368,7 +368,7 @@ def _get_artifact(cfg, model_key, layer, key, qstr, save_dir, seed,
     assert dense_w is not None, (
         f"artifact missing and no dense weights to quantize: {path}")
     su = su_for(cfg, layer, key, seed)
-    art = quantize_linear(dense_w, qstr, SU=su, seed=seed,
+    art = quantize_linear(dense_w, qstr, SU=su, H=H, seed=seed,
                           rot_blocks=rot_blocks)
     save_artifact(art, path)
     return art
@@ -381,10 +381,13 @@ def build_quantized_model(cfg: LlamaConfig, qdict, merge_info=None,
                           dummy: bool = False, impl: str = "xla",
                           num_layers: Optional[int] = None,
                           row_parallel_tp: int = 1,
-                          lm_head_bits: int = 16):
+                          lm_head_bits: int = 16,
+                          hess: Optional[dict] = None):
     """Assemble (ModelSpec, params) for a quantized Llama.
 
     qdict: quantizer_str, or dict {f"{i}_{key}": qstr | (qstr, simt)}.
+    hess: optional {f"{i}_{qkv|o|up|down}": H} calibration Hessians
+    (collect_hessians.py output) consumed by `_hess_` quantizers.
     merge_info: per-layer list like ["merge_qkv", "merge_ug"] or None.
     dense_params: optional dict with dense model params (for
     quantize-on-demand and for embeddings/norms/lm_head).
@@ -426,11 +429,13 @@ def build_quantized_model(cfg: LlamaConfig, qdict, merge_info=None,
             qs, impl_k = qstr_for(i, key)
             rb = row_parallel_tp if key in (
                 "self_attn.o_proj", "mlp.down_proj") else 1
+            from qpalette_tpu.quant.hessian import HESSKEY
+            Hk = hess.get(f"{i}_{HESSKEY[key]}") if hess else None
             arts[key] = _get_artifact(
                 cfg, model_key, i, key, qs, save_dir, seed,
                 dense_w=None if dense_params is None
                 else dense_params["layers"][i][key], dummy=dummy,
-                rot_blocks=rb)
+                rot_blocks=rb, H=Hk)
 
         q, k, v, o = (arts["self_attn.q_proj"], arts["self_attn.k_proj"],
                       arts["self_attn.v_proj"], arts["self_attn.o_proj"])

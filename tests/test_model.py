@@ -213,3 +213,23 @@ def test_int8_lm_head_close_to_bf16(dense_setup, tmp_path):
     l8b = np.asarray(forward(q8, p8, toks2))
     rel2 = np.abs(l8b - l16b).max() / (np.abs(l16b).max() + 1e-9)
     assert rel2 < 0.02, rel2
+
+
+def test_hess_quantizers_through_loader(dense_setup, tmp_path):
+    """`_hess_` quantizers receive calibration Hessians via
+    build_quantized_model(hess=...) (eval_qdict --hess_path plumb)."""
+    dp, _, _ = dense_setup
+    rng = np.random.default_rng(14)
+    hess = {}
+    for i in range(CFG.num_layers):
+        for g, n in (("qkv", CFG.hidden_size), ("o", CFG.hidden_size),
+                     ("up", CFG.hidden_size),
+                     ("down", CFG.intermediate_size)):
+            X = rng.standard_normal((4 * n, n)).astype(np.float32)
+            hess[f"{i}_{g}"] = X.T @ X / (4 * n)
+    spec, params = build_quantized_model(
+        CFG, "ldlq_1_4_hess_1.0", model_key="tiny_hess",
+        save_dir=str(tmp_path), dense_params=dp, hess=hess)
+    toks = jnp.asarray(np.arange(8)[None, :] % CFG.vocab_size, jnp.int32)
+    lq = forward(spec, params, toks)
+    assert np.isfinite(np.asarray(lq)).all()
