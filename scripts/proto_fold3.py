@@ -49,11 +49,15 @@ def _kernel(x_ref, tr_ref, o_ref, d0, d1, *, KV, tk, wm, cc, NP, v2,
         t2 = (h & MPAIR) + ((h >> jnp.uint32(8)) & MPAIR)
         return t2 + (t2 >> jnp.uint32(16))  # low16 = 4-byte unsigned sum
 
+    XOR = jnp.uint32(0x80808080)
+
     def decode_tile(kt, d_ref, row0):
         for i, u in _planar_states(tr_ref, kt, KV, NP, sub):
             if v2:
-                s1 = fold(u * A1)
-                s2 = fold(u * A2)
+                # dualmad sums SIGNED bytes: bias via XOR 0x80 per byte so
+                # unsigned-fold - 512 equals the signed sum
+                s1 = fold((u * A1) ^ XOR)
+                s2 = fold((u * A2) ^ XOR)
                 pk = (s1 & M16) | (s2 << jnp.uint32(16))
                 d_ref[row0 + kt * 8:row0 + kt * 8 + 8,
                       i * wm:(i + 1) * wm] = pk
