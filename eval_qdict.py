@@ -87,7 +87,7 @@ def main():
     json.dump({args.dataset: {"ppl": ppl, "avg_loss": avg_loss}},
               open(result_path + ".json", "w"), indent=1)
     with open(result_path + ".txt", "w") as f:
-        f.write(f"wikitext2, {ppl}, {avg_loss}\n")
+        f.write(f"{args.dataset}, {ppl}, {avg_loss}\n")
 
 
 if __name__ == "__main__":

@@ -112,25 +112,32 @@ def main():
             ts[reps] = best
         return (ts[4 * REPS] - ts[REPS]) / (3 * REPS)
 
-    def measure(g, q):
+    def measure(g, q, impl):
         m, n = group_shape(g)
         art = dummy_artifact(q, (m, n), seed=0)
-        spec = _spec_from_meta(art["meta"], args.impl)
-        params = _params_from_artifact(art, jnp.bfloat16, args.impl)
+        spec = _spec_from_meta(art["meta"], impl)
+        params = _params_from_artifact(art, jnp.bfloat16, impl)
         return time_apply(spec, params, n)
 
     pairs = ([(g, q) for g in groups for q in qlist] if args.full else
              [(g, q) for g in SAMPLE_GROUPS for q in SAMPLE_QS])
     samples = []
-    measured = {}
+    measured = {}     # -> `_False` keys (primary fused impl)
+    measured_alt = {}  # -> `_True` keys (xla alternate impl, ldlq only:
+    #                    the solver's use_impl_choice offers `1` only for
+    #                    ldlq quantizers, mirroring the reference simt flag)
     for g, q in pairs:
         try:
-            dt = measure(g, q)
+            dt = measure(g, q, args.impl)
             byts = packed_bytes(cfg, g, q)
             samples.append((family_of(q), byts, dt))
             measured[f"{g}_{q}"] = dt
             print(f"{g}_{q}: {dt * 1e6:.1f} us "
                   f"({byts / dt / 1e9:.0f} GB/s)", flush=True)
+            if q.startswith("ldlq"):
+                dta = measure(g, q, "xla")
+                measured_alt[f"{g}_{q}"] = dta
+                print(f"{g}_{q} [xla]: {dta * 1e6:.1f} us", flush=True)
         except Exception as e:
             print(f"{g}_{q}: SKIP ({type(e).__name__}: {str(e)[:120]})",
                   flush=True)
@@ -144,10 +151,13 @@ def main():
         bj = "BENCH_r01.json"
         # non-projection remainder estimated later by measure_latency
     table = build_lat_table(cfg, qlist, fams, constant=constant)
-    # overwrite fitted entries with direct measurements where we have them
+    # overwrite fitted entries with direct measurements where we have them;
+    # the `_True` (alternate-impl) keys only get values actually measured
+    # with the xla impl — never the fused-impl number (round-2 ADVICE)
     for key, dt in measured.items():
-        for fl in ("False", "True"):
-            table[f"{key}_{fl}"] = dt
+        table[f"{key}_False"] = dt
+    for key, dt in measured_alt.items():
+        table[f"{key}_True"] = dt
     table["__source__"] = ("measured" if args.full else
                            "measured-sample-fit")
     table["__impl__"] = args.impl

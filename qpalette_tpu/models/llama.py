@@ -198,7 +198,10 @@ def _attention_flash(q, k, v, offset, cfg: LlamaConfig,
     outs = []
     for qi in range(S // qc):
         qb = qf[:, qi * qc:(qi + 1) * qc]  # (B, qc, hk, g, D)
-        qpos = jnp.arange(qc) + qi * qc + offset  # (qc,) or (B, qc)
+        if jnp.ndim(offset) == 1:  # per-row offsets (continuous batching)
+            qpos = jnp.arange(qc)[None, :] + qi * qc + offset[:, None]
+        else:
+            qpos = jnp.arange(qc) + qi * qc + offset  # (qc,)
         if static_off:
             # causal: only KV chunks that intersect [0, q_end] matter
             n_kv = min(T // tc, (qi * qc + qc + offset + tc - 1) // tc)
@@ -426,10 +429,12 @@ def forward(spec: ModelSpec, params: Params, tokens: jax.Array,
             logits = int8_gemv(xf, params["lm_head_q"],
                                params["lm_head_s"], cfg.vocab_size,
                                cfg.hidden_size)
-        else:  # prefill/eval: one dequant + plain MXU matmul
-            w = (params["lm_head_q"].astype(jnp.bfloat16)
-                 * params["lm_head_s"].astype(jnp.bfloat16))
-            logits = xf.astype(jnp.float32) @ w.astype(jnp.float32)
+        else:  # prefill/eval: one dequant + plain MXU matmul.  Scales are
+            # applied in f32 (matching int8_gemv's f32 epilogue) so prefill
+            # logits don't pick up an extra bf16 rounding of the scale.
+            w = (params["lm_head_q"].astype(jnp.float32)
+                 * params["lm_head_s"].astype(jnp.float32))
+            logits = xf.astype(jnp.float32) @ w
         logits = logits.reshape(B, S, cfg.vocab_size)
     else:
         logits = (x.astype(jnp.float32)

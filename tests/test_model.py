@@ -116,6 +116,30 @@ def test_flash_attention_matches_dense(offset):
                        atol=2e-2)
 
 
+def test_flash_attention_per_row_offset():
+    """(B,) per-row offsets (continuous batching) through the flash path:
+    each row must match the dense path run at its own scalar offset."""
+    from qpalette_tpu.models.llama import _attention, _attention_flash
+    cfg = CFG
+    B, S, D = 2, 32, cfg.head_dim
+    offs = np.array([0, 7], np.int32)
+    T = S + int(offs.max())
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.standard_normal((B, S, cfg.num_heads, D)),
+                    jnp.float32).astype(jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, T, cfg.num_kv_heads, D)),
+                    jnp.float32).astype(jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, T, cfg.num_kv_heads, D)),
+                    jnp.float32).astype(jnp.bfloat16)
+    flash = np.asarray(_attention_flash(q, k, v, jnp.asarray(offs), cfg,
+                                        qc=16, tc=16).astype(jnp.float32))
+    for b, off in enumerate(offs):
+        dense_b = np.asarray(_attention(q[b:b + 1], k[b:b + 1], v[b:b + 1],
+                                        int(off), cfg).astype(jnp.float32))
+        assert np.allclose(dense_b[0], flash[b], atol=2e-2), \
+            np.abs(dense_b[0] - flash[b]).max()
+
+
 def test_decode_matches_prefill(dense_setup):
     """Incremental decode with KV cache must match the full forward."""
     _, spec, params = dense_setup
