@@ -38,10 +38,11 @@ def main():
 
     # default = the TPU-fast arithmetic-decode MSQ mix (what the
     # latency-aware solver picks on this hardware; 3.27-bit avg):
-    # tcq2 (V=2 dualmad, proxy err 0.0191 @3bit ~= reference tcq_6's
-    # 0.0189) on the merged projections, tcq1 (1mad) on the row-parallel
-    # ones; int8-activation MXU dots (impl pallas_a8).
-    scheme = os.environ.get("QPT_BENCH_SCHEME", "tcq2mix")
+    # tcq2s (V=2 sum2 decode, 2 int8/weight MXU feed, dense planar
+    # layout = true 3/4 bits per weight) everywhere, down_proj at 4 bits;
+    # int8-activation MXU dots (impl pallas_a8) and a rotated int8
+    # lm_head.  tcq2mix keeps the round-2 dualmad mix for comparison.
+    scheme = os.environ.get("QPT_BENCH_SCHEME", "sum2mix")
     impl = os.environ.get("QPT_BENCH_IMPL", "pallas_a8")
     n_layers = int(os.environ.get("QPT_BENCH_LAYERS", "32"))
     n_tokens = int(os.environ.get("QPT_BENCH_TOKENS", "64"))
@@ -58,29 +59,35 @@ def main():
 
     def run(nl):
         mi = [["merge_qkv", "merge_ug"]] * nl if merge else None
-        if scheme in ("tcq1mix", "tcq2mix"):
-            # 3.27-bit avg arithmetic-decode trellis mix.  Schemes are
-            # merge-compatible within each fused group (same KV — the
-            # constraint merge_artifacts enforces on real artifacts):
-            #   qkv (merged)     tcq2_6  3.0 bits
-            #   o_proj           tcq1_3  3.0 bits
-            #   up+gate (merged) tcq2_7  3.5 bits
-            #   down_proj        tcq1_3  3.0 bits
+        if scheme in ("tcq1mix", "tcq2mix", "sum2mix"):
+            # 3.27-bit avg arithmetic-decode trellis mixes.  Schemes are
+            # merge-compatible within each fused group (same KV+mode — the
+            # constraint merge_artifacts enforces on real artifacts).
+            #   sum2mix (round 3):  qkv/o/ug tcq2s_6 (3.0b), down tcq2s_8
+            #     (4.0b) — dense planar layout, 2 int8/weight MXU feed
+            #   tcq2mix (round 2):  qkv tcq2_6, ug tcq2_7, o/down tcq1_3
             from qpalette_tpu.runtime.loader import LAYER_KEYS
-            ugq = ("tcq2_7_none_0.9" if scheme == "tcq2mix"
-                   else "tcq1_4_none_0.9")
-            qkvq = ("tcq2_6_none_0.9" if scheme == "tcq2mix"
-                    else "tcq1_3_none_0.9")
+            ugq = {"sum2mix": "tcq2s_6_none_0.9",
+                   "tcq2mix": "tcq2_7_none_0.9",
+                   "tcq1mix": "tcq1_4_none_0.9"}[scheme]
+            qkvq = {"sum2mix": "tcq2s_6_none_0.9",
+                    "tcq2mix": "tcq2_6_none_0.9",
+                    "tcq1mix": "tcq1_3_none_0.9"}[scheme]
+            oq = ("tcq2s_6_none_0.9" if scheme == "sum2mix"
+                  else "tcq1_3_none_0.9")
+            dq = ("tcq2s_8_none_0.9" if scheme == "sum2mix"
+                  else "tcq1_3_none_0.9")
             qd = {}
             for i in range(nl):
                 for key in LAYER_KEYS:
                     if key in ("mlp.up_proj", "mlp.gate_proj"):
                         qd[f"{i}_{key}"] = ugq
-                    elif key.startswith("self_attn.") and \
-                            key != "self_attn.o_proj":
-                        qd[f"{i}_{key}"] = qkvq
+                    elif key == "mlp.down_proj":
+                        qd[f"{i}_{key}"] = dq
+                    elif key == "self_attn.o_proj":
+                        qd[f"{i}_{key}"] = oq
                     else:
-                        qd[f"{i}_{key}"] = "tcq1_3_none_0.9"
+                        qd[f"{i}_{key}"] = qkvq
         else:
             qd = scheme
         spec, params = build_quantized_model(
@@ -110,7 +117,7 @@ def main():
         toks = 1.0 / ((1.0 / toks) * full_layers / n_run)
 
     bits_label = "3.27-bit arith-TCQ MSQ" \
-        if scheme in ("tcq1mix", "tcq2mix") else "3.25-bit"
+        if scheme in ("tcq1mix", "tcq2mix", "sum2mix") else "3.25-bit"
     metric = (f"decode tokens/s/chip bs=1 Llama-3.1-8B {bits_label}"
               + (" (extrapolated)" if extrapolated else ""))
     print(json.dumps({

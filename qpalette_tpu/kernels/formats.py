@@ -84,8 +84,31 @@ def tcq_kernel_weights(trellis: np.ndarray, m: int, k: int) -> np.ndarray:
 
 
 def tcq1_n_planes(KV: int) -> int:
-    """32-bit planes per sublane group for the planar tcq1 layout."""
+    """32-bit planes per sublane group for the ALIGNED planar layout."""
     return -(-(15 * KV + 16) // 32)
+
+
+def planar_dense(KV: int) -> bool:
+    """Even KV uses the DENSE planar layout: each sublane's 16-state
+    stream is exactly 16*KV bits = KV/2 whole words, so plane j holds the
+    tile's raw word (KV/2 * t + j) with NO alignment padding; the 16-bit
+    carry tail (states 14/15 read past word KV/2-1) is recovered in-kernel
+    by a single sublane roll of plane 0 (sublane t's rolled value = word
+    KV/2*(t+1), circular within the tile — tail-biting makes the tile's
+    bitstream circular).  Stored bits/weight = KV/2 exactly, vs the
+    aligned layout's 32*ceil((15KV+16)/32)/(8*KV) inflation (1.33x at
+    KV=6).  Odd KV keeps the aligned layout (per-sublane streams start at
+    16-bit half-word offsets; a dense variant would need per-sublane-parity
+    shifts in the hot decode loop)."""
+    return KV % 2 == 0
+
+
+def planar_n_planes(KV: int) -> int:
+    """Planes per sublane group for the planar layouts (dense or aligned).
+
+    The decode kernel appends one extra rolled plane in the dense case, so
+    in-kernel `planes[j0 + 1]` indexing is uniform across layouts."""
+    return KV // 2 if planar_dense(KV) else tcq1_n_planes(KV)
 
 
 def tcq1_planar_weights(trellis, m: int, k: int, KV: int):
@@ -102,11 +125,14 @@ def tcq1_planar_weights(trellis, m: int, k: int, KV: int):
     assert W == 8 * KV
     mt, kt = m // 16, k // 16
     assert T == mt * kt
-    NP = tcq1_n_planes(KV)
+    NP = planar_n_planes(KV)
     arr = jnp.asarray(trellis).reshape(mt, kt, W).transpose(1, 2, 0)
     rows = []
     for j in range(NP):
         for t in range(16):
+            if planar_dense(KV):  # row j*16+t = raw word KV/2*t + j
+                rows.append(arr[:, NP * t + j, :])
+                continue
             off = (16 * KV * t + 32 * j) % (256 * KV)
             w0, sh = off >> 5, off & 31
             lo = arr[:, w0, :]
@@ -133,11 +159,14 @@ def tcq2_planar_weights(trellis, m: int, k: int, KV: int):
     assert W == 4 * KV
     mt, kt = m // 16, k // 16
     assert T == mt * kt
-    NP = tcq1_n_planes(KV)
+    NP = planar_n_planes(KV)
     arr = jnp.asarray(trellis).reshape(mt, kt, W).transpose(1, 2, 0)
     rows = []
     for j in range(NP):
         for t in range(8):
+            if planar_dense(KV):  # row j*8+t = raw word KV/2*t + j
+                rows.append(arr[:, NP * t + j, :])
+                continue
             off = (16 * KV * t + 32 * j) % (128 * KV)
             w0, sh = off >> 5, off & 31
             lo = arr[:, w0, :]

@@ -390,14 +390,27 @@ _MAD2_A, _MAD2_B, _MAD2_C = 264435761, 1013904223, 1664525
 _MAD_INV = 1.0 / 147.800537109375
 
 
-def _planar_states(tr_ref, kt, KV, NP, sub):
+def _roll_next(plane):
+    """Sublane roll by -1: sublane t gets sublane (t+1) % rows — recovers
+    the dense layout's carry word (formats.planar_dense)."""
+    try:
+        return pltpu.roll(plane, -1, 0)
+    except Exception:
+        return jnp.roll(plane, -1, axis=0)
+
+
+def _planar_states(tr_ref, kt, KV, NP, sub, dense=False):
     """Yield the 16 masked state vectors of planar tile kt.
 
-    sub = sublanes per plane: 16 for tcq1 (V=1), 8 for tcq2 (V=2).  Row
-    j*sub + t of a tile holds the ALIGNED window [16*KV*t + 32*j, +32) of
-    the tile's circular bitstream (formats.tcq{1,2}_planar_weights), so
-    state i of every sublane group is two constant shifts."""
+    sub = sublanes per plane: 16 for tcq1 (V=1), 8 for tcq2 (V=2).
+    Aligned layout: row j*sub + t holds the window [16*KV*t + 32*j, +32)
+    of the tile's circular bitstream, so state i of every sublane group is
+    two constant shifts.  Dense layout (even KV, formats.planar_dense):
+    row j*sub + t holds the RAW word KV/2*t + j — zero storage inflation —
+    and the carry word KV/2*(t+1) is one sublane roll of plane 0."""
     planes = [tr_ref[kt, jj * sub:(jj + 1) * sub, :] for jj in range(NP)]
+    if dense:
+        planes.append(_roll_next(planes[0]))
     M16 = jnp.uint32(0xFFFF)
     for i in range(16):
         off = KV * i
@@ -467,19 +480,26 @@ def _bytes_as_bf16_signed(h_chunk, interpret: bool):
 
 
 def _arith_kernel(x_ref, tr_ref, o_ref, d0, d1, *, KV, tk, wm, cc, NP,
-                  v2, mode, a8, pingpong, interp):
+                  v2, mode, a8, pingpong, interp, dense):
     """Unified planar arithmetic-trellis decode + MXU byte-sum matmul.
 
     v2=False (tcq1): one 16-bit state per weight, scramble per `mode`
     (1mad / 2mad), bytes stored XOR 0x80808080 so the signed-byte sum is
     (unsigned sum - 512) and the +2*sum(x) epilogue lands the reference
     value (bitshift.py:16-39).
-    v2=True (tcq2): one state per weight PAIR; h1 = u*A1, h2 = u*A2 with
-    SIGNED bytes and no correction (codebooks.decode_dualmad) — half the
-    window extractions per weight.
+    v2=True, mode='dualmad' (tcq2): one state per weight PAIR; h1 = u*A1,
+    h2 = u*A2 with SIGNED bytes and no correction
+    (codebooks.decode_dualmad) — half the window extractions per weight.
+    v2=True, mode='sum2' (tcq2s): ONE scramble h = u*A1 + B per pair;
+    weight0 = signed bytes b0+b1, weight1 = b2+b3
+    (codebooks.decode_sum2) — the MXU streams 2 bytes/weight instead of
+    4, lifting the dot off the critical path (scripts/proto_round3.py).
+
+    dense=True (even KV): planes are raw stream words (zero storage
+    inflation, formats.planar_dense); the carry plane is one sublane roll.
 
     a8=False: bytes ride the MXU as exact bf16 (int8 values convert
-    losslessly) against repeat(x, 4) — bit-exact decode.
+    losslessly) against repeat(x, 4 or 2) — bit-exact decode.
     a8=True: bytes stay int8 and the dot runs the MXU's native
     int8 x int8 -> int32 path against activations pre-quantized to int8
     (global absmax scale).  ~2.2x the bf16-path throughput measured on
@@ -493,30 +513,35 @@ def _arith_kernel(x_ref, tr_ref, o_ref, d0, d1, *, KV, tk, wm, cc, NP,
     j = pl.program_id(1)
     XOR = jnp.uint32(0x80808080)
     A1, A2 = jnp.uint32(_MAD1_A), jnp.uint32(_MAD2_A)
+    B1 = jnp.uint32(_MAD1_B)
     sub = 8 if v2 else 16
+    sum2 = v2 and mode == "sum2"
+    tpr = 8 if sum2 else 16  # scratch rows (uint32) per trellis tile
 
     def decode_tile(kt, d_ref, row0):
-        for i, u in _planar_states(tr_ref, kt, KV, NP, sub):
-            r = row0 + kt * 16
-            if v2:
+        for i, u in _planar_states(tr_ref, kt, KV, NP, sub, dense):
+            r = row0 + kt * tpr
+            if sum2:
+                d_ref[r:r + 8, i * wm:(i + 1) * wm] = u * A1 + B1
+            elif v2:
                 d_ref[r:r + 8, i * wm:(i + 1) * wm] = u * A1
                 d_ref[r + 8:r + 16, i * wm:(i + 1) * wm] = u * A2
             else:
                 d_ref[r:r + 16, i * wm:(i + 1) * wm] = \
                     _mad_scramble(u, mode) ^ XOR
 
-    x = x_ref[0]  # (N, 4*tk*16)
+    x = x_ref[0]  # (N, 4*tpr*tk)
     acc = None
     for c in range(tk // cc):
         c0 = c * cc
         if pingpong:
-            d_ref, row0 = (d0, -c0 * 16) if c % 2 == 0 else (d1, -c0 * 16)
+            d_ref, row0 = (d0, -c0 * tpr) if c % 2 == 0 else (d1, -c0 * tpr)
         else:
             d_ref, row0 = d0, 0
         for kt in range(c0, c0 + cc):
             decode_tile(kt, d_ref, row0)
-        lo = 0 if pingpong else c0 * 16
-        chunk = d_ref[lo:lo + cc * 16, :]
+        lo = 0 if pingpong else c0 * tpr
+        chunk = d_ref[lo:lo + cc * tpr, :]
         if a8:
             hmat = _bytes_i8(chunk, interp)
         elif v2:
@@ -524,7 +549,7 @@ def _arith_kernel(x_ref, tr_ref, o_ref, d0, d1, *, KV, tk, wm, cc, NP,
         else:
             hmat = _bytes_as_bf16(chunk, interp)
         part = jax.lax.dot_general(
-            x[:, c0 * 64:(c0 + cc) * 64], hmat,
+            x[:, c0 * 4 * tpr:(c0 + cc) * 4 * tpr], hmat,
             (((1,), (0,)), ((), ())),
             preferred_element_type=o_ref.dtype)
         acc = part if acc is None else acc + part
@@ -548,28 +573,57 @@ def _tcq2_x4(x, gk, tk):
     return x4.reshape(gk, N, 4 * tk * 16)
 
 
-def _arith_decode_matmul(x, tr_pl, KV: int, mode: str, m: int, k: int,
-                         v2: bool, a8: bool):
-    """Shared host wrapper for tcq1/tcq2 fused decode (see _arith_kernel).
+# Measured block-parameter table for the Llama-3.1-8B decode shapes
+# (scripts/tune_sum2.py medians on v5e); missing shapes fall back to the
+# heuristic below.
+_TUNE_TABLE = {
+    ("sum2", 6144, 4096): dict(tk=32, wm=128, cc=8, pingpong=True),
+    ("sum2", 4096, 4096): dict(tk=32, wm=256, cc=8, pingpong=True),
+    ("sum2", 28672, 4096): dict(tk=64, wm=256, cc=8, pingpong=True),
+    ("sum2", 4096, 14336): dict(tk=64, wm=256, cc=16, pingpong=True),
+}
 
-    Block parameters follow the v5e sweep (scripts/proto_fold2.py):
-    wm=256 only pays on long-k row-parallel shapes; scratch ping-pong only
-    on small-m shapes."""
-    from qpalette_tpu.kernels.formats import tcq1_n_planes
+
+def _arith_decode_matmul(x, tr_pl, KV: int, mode: str, m: int, k: int,
+                         v2: bool, a8: bool, tune: tuple = ()):
+    """Shared host wrapper for tcq1/tcq2/tcq2s fused decode (see
+    _arith_kernel).
+
+    Block parameters follow the v5e sweeps (scripts/proto_fold2.py,
+    proto_round3.py, tune_sum2.py): sum2 favors big k-blocks + wm=256 +
+    scratch ping-pong (decode and dot overlap); dualmad/v1 keep the
+    round-2 heuristic.  `tune` = ((key, val), ...) overrides
+    {tk, wm, cc, pingpong} for autotuning sweeps."""
+    from qpalette_tpu.kernels.formats import planar_n_planes, planar_dense
+    sum2 = v2 and mode == "sum2"
+    tune = dict(_TUNE_TABLE.get((mode, m, k), {}) if a8 and sum2 else {},
+                **dict(tune))
     N = x.shape[0]
-    NP = tcq1_n_planes(KV)
+    NP = planar_n_planes(KV)
+    dense = planar_dense(KV)
+    tpr = 8 if sum2 else 16
     kt_total = k // 16
-    tk = next(c for c in (32, 16, 8, 4, 2, 1) if kt_total % c == 0)
-    if a8 and k > 8192 and (m // 16) % 256 == 0:
+    tk0 = tune.get("tk", 64 if sum2 and a8 else 32)
+    tk = next(c for c in (tk0, 64, 32, 16, 8, 4, 2, 1)
+              if c <= tk0 and kt_total % c == 0)
+    if "wm" in tune and (m // 16) % tune["wm"] == 0:
+        wm = tune["wm"]
+    elif a8 and (sum2 or k > 8192) and (m // 16) % 256 == 0:
         wm = 256
     else:
         wm = _pick_width(m // 16, candidates=(128, 64))
     gk = kt_total // tk
     gm = (m // 16) // wm
-    cc = next(c for c in (8, 4, 2, 1) if tk % c == 0)
-    pingpong = a8 and m <= 4096 and tk // cc >= 2
+    cc0 = tune.get("cc", 8)
+    cc = next(c for c in (cc0, 8, 4, 2, 1) if tk % c == 0)
+    pingpong = tune.get("pingpong",
+                        a8 and (sum2 or m <= 4096) and tk // cc >= 2)
+    pingpong = pingpong and tk // cc >= 2
 
-    if v2:
+    if sum2:  # natural pair order: pair t = cols (2t, 2t+1)
+        xp = jnp.repeat(x.reshape(N, gk, tk * 16).transpose(1, 0, 2), 2,
+                        axis=2)
+    elif v2:
         xp = _tcq2_x4(x, gk, tk)
     else:
         xp = jnp.repeat(x.reshape(N, gk, tk * 16).transpose(1, 0, 2), 4,
@@ -584,18 +638,18 @@ def _arith_decode_matmul(x, tr_pl, KV: int, mode: str, m: int, k: int,
         xp = xp.astype(DDT)
         odtype = ACC
     interp = _interpret()
-    rows = (cc if pingpong else tk) * 16
+    rows = (cc if pingpong else tk) * tpr
     scratch = [pltpu.VMEM((rows, 16 * wm), jnp.uint32),
                pltpu.VMEM((rows, 16 * wm) if pingpong else (8, 128),
                           jnp.uint32)]
     out = pl.pallas_call(
         functools.partial(_arith_kernel, KV=KV, tk=tk, wm=wm, cc=cc, NP=NP,
                           v2=v2, mode=mode, a8=a8, pingpong=pingpong,
-                          interp=interp),
+                          interp=interp, dense=dense),
         out_shape=jax.ShapeDtypeStruct((N, m), odtype),
         grid=(gm, gk),
         in_specs=[
-            pl.BlockSpec((1, N, 4 * tk * 16), lambda i, j: (j, 0, 0),
+            pl.BlockSpec((1, N, 4 * tpr * tk), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tk, NP * (8 if v2 else 16), wm),
                          lambda i, j: (j, 0, i), memory_space=pltpu.VMEM),
@@ -629,30 +683,37 @@ def tcq1_decode_matmul(x, tr_pl, KV: int, mode: str, m: int, k: int,
     return _arith_decode_matmul(x, tr_pl, KV, mode, m, k, v2=False, a8=a8)
 
 
-@functools.partial(jax.jit, static_argnames=("KV", "m", "k", "a8"))
-def tcq2_decode_matmul(x, tr_pl, KV: int, m: int, k: int, a8: bool = False):
+@functools.partial(jax.jit, static_argnames=("KV", "m", "k", "a8", "mode",
+                                              "tune"))
+def tcq2_decode_matmul(x, tr_pl, KV: int, m: int, k: int, a8: bool = False,
+                       mode: str = "dualmad", tune: tuple = ()):
     """x (N, k); tr_pl (k/16, NP*8, m/16) uint32 planar layout
-    (formats.tcq2_planar_weights).  Returns (N, m) f32 = x @ W^T."""
-    return _arith_decode_matmul(x, tr_pl, KV, "dualmad", m, k, v2=True,
-                                a8=a8)
+    (formats.tcq2_planar_weights).  Returns (N, m) f32 = x @ W^T.
+
+    mode: 'dualmad' (tcq2) or 'sum2' (tcq2s, halved MXU feed)."""
+    return _arith_decode_matmul(x, tr_pl, KV, mode, m, k, v2=True,
+                                a8=a8, tune=tune)
 
 
-def _tcq2_dequant_kernel(tr_ref, o_ref, *, KV, tk, wm, NP):
-    M16 = jnp.uint32(0xFFFF)
+def _tcq2_dequant_kernel(tr_ref, o_ref, *, KV, tk, wm, NP, mode, dense):
     MPAIR = jnp.uint32(0x00FF00FF)
     XOR = jnp.uint32(0x80808080)
     A1, A2 = jnp.uint32(_MAD1_A), jnp.uint32(_MAD2_A)
+    B1 = jnp.uint32(_MAD1_B)
     for kt in range(tk):
-        planes = [tr_ref[kt, jj * 8:(jj + 1) * 8, :] for jj in range(NP)]
-        for i in range(16):
-            off = KV * i
-            j0, sh = off >> 5, off & 31
-            if sh + 16 <= 32:
-                u = planes[j0] >> jnp.uint32(sh) if sh else planes[j0]
-            else:
-                u = ((planes[j0] >> jnp.uint32(sh))
-                     | (planes[j0 + 1] << jnp.uint32(32 - sh)))
-            u = u & M16
+        for i, u in _planar_states(tr_ref, kt, KV, NP, 8, dense):
+            if mode == "sum2":
+                # one scramble per pair: byte sums (b0+b1, b2+b3) are the
+                # two weights (codebooks.decode_sum2)
+                g = (u * A1 + B1) ^ XOR
+                t2 = (g & MPAIR) + ((g >> jnp.uint32(8)) & MPAIR)
+                for half in (0, 1):
+                    s2 = (t2 >> jnp.uint32(16 * half)) & jnp.uint32(0x3FF)
+                    val = ((s2.astype(jnp.int32) - 256).astype(jnp.float32)
+                           * _MAD_INV)
+                    o_ref[kt * 16 + half * 8:kt * 16 + half * 8 + 8,
+                          i * wm:(i + 1) * wm] = val.astype(DDT)
+                continue
             for half, A in ((0, A1), (1, A2)):
                 g = (u * A) ^ XOR  # unsigned bytes = signed + 128
                 t2 = (g & MPAIR) + ((g >> jnp.uint32(8)) & MPAIR)
@@ -663,18 +724,19 @@ def _tcq2_dequant_kernel(tr_ref, o_ref, *, KV, tk, wm, NP):
                       i * wm:(i + 1) * wm] = val.astype(DDT)
 
 
-@functools.partial(jax.jit, static_argnames=("KV", "m", "k"))
-def tcq2_dequant(tr_pl, KV: int, m: int, k: int):
+@functools.partial(jax.jit, static_argnames=("KV", "m", "k", "mode"))
+def tcq2_dequant(tr_pl, KV: int, m: int, k: int, mode: str = "dualmad"):
     """planar tcq2 trellis -> W^T (k, m) bf16 in HBM."""
-    from qpalette_tpu.kernels.formats import tcq1_n_planes
-    NP = tcq1_n_planes(KV)
+    from qpalette_tpu.kernels.formats import planar_n_planes, planar_dense
+    NP = planar_n_planes(KV)
     kt_total = k // 16
     tk = next(c for c in (32, 16, 8, 4, 2, 1) if kt_total % c == 0)
     wm = _pick_width(m // 16, candidates=(128, 64))
     gk = kt_total // tk
     gm = (m // 16) // wm
     out = pl.pallas_call(
-        functools.partial(_tcq2_dequant_kernel, KV=KV, tk=tk, wm=wm, NP=NP),
+        functools.partial(_tcq2_dequant_kernel, KV=KV, tk=tk, wm=wm, NP=NP,
+                          mode=mode, dense=planar_dense(KV)),
         out_shape=jax.ShapeDtypeStruct((k, m), DDT),
         grid=(gm, gk),
         in_specs=[pl.BlockSpec((tk, NP * 8, wm), lambda i, j: (j, 0, i),
@@ -699,10 +761,10 @@ def tcq2_dequant(tr_pl, KV: int, m: int, k: int):
 # (lib/linear/tcq_linear.py:75-84).
 # ---------------------------------------------------------------------------
 
-def _tcq1_dequant_kernel(tr_ref, o_ref, *, KV, tk, wm, NP, mode):
+def _tcq1_dequant_kernel(tr_ref, o_ref, *, KV, tk, wm, NP, mode, dense):
     MPAIR = jnp.uint32(0x00FF00FF)
     for kt in range(tk):
-        for i, u in _planar_states(tr_ref, kt, KV, NP, 16):
+        for i, u in _planar_states(tr_ref, kt, KV, NP, 16, dense):
             h = _mad_scramble(u, mode)
             # full VPU byte-sum (one-shot path; the fused kernel moves this
             # onto the MXU instead)
@@ -717,8 +779,8 @@ def _tcq1_dequant_kernel(tr_ref, o_ref, *, KV, tk, wm, NP, mode):
 @functools.partial(jax.jit, static_argnames=("KV", "m", "k", "mode"))
 def tcq1_dequant(tr_pl, KV: int, m: int, k: int, mode: str = "1mad"):
     """planar trellis -> W^T (k, m) bf16 in HBM (1mad or 2mad decode)."""
-    from qpalette_tpu.kernels.formats import tcq1_n_planes
-    NP = tcq1_n_planes(KV)
+    from qpalette_tpu.kernels.formats import planar_n_planes, planar_dense
+    NP = planar_n_planes(KV)
     kt_total = k // 16
     tk = next(c for c in (32, 16, 8, 4, 2, 1) if kt_total % c == 0)
     wm = _pick_width(m // 16, candidates=(128, 64))
@@ -726,7 +788,7 @@ def tcq1_dequant(tr_pl, KV: int, m: int, k: int, mode: str = "1mad"):
     gm = (m // 16) // wm
     out = pl.pallas_call(
         functools.partial(_tcq1_dequant_kernel, KV=KV, tk=tk, wm=wm, NP=NP,
-                          mode=mode),
+                          mode=mode, dense=planar_dense(KV)),
         out_shape=jax.ShapeDtypeStruct((k, m), DDT),
         grid=(gm, gk),
         in_specs=[pl.BlockSpec((tk, NP * 16, wm), lambda i, j: (j, 0, i),
@@ -890,7 +952,8 @@ def dequant_weight_kernelfmt(spec, p, luts):
         return tcq1_dequant(p["trellis_pl"], spec.KV[0], m, n,
                             mode=spec.mode)
     if spec.kind == "tcq2":
-        return tcq2_dequant(p["trellis_pl"], spec.KV[0], m, n)
+        return tcq2_dequant(p["trellis_pl"], spec.KV[0], m, n,
+                            mode=spec.mode)
     if spec.kind == "tcq":
         return tcq_dequant(p["trellis_kt"], p["clut"], spec.KV[0],
                            spec.tlut_bits, m, n)
@@ -928,6 +991,50 @@ def _i8gemv_kernel(x_ref, w_ref, s_ref, o_ref):
         x_ref[:], w_ref[:].astype(DDT), (((1,), (0,)), ((), ())),
         preferred_element_type=ACC)
     o_ref[:] = acc * s_ref[:]
+
+
+def _i8gemv_a8_kernel(x_ref, w_ref, s_ref, o_ref):
+    acc = jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    o_ref[:] = acc.astype(ACC) * s_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("m", "k"))
+def int8_gemv_a8(x, wq_t, scales, m: int, k: int):
+    """x (N<=8, k) bf16; wq_t (k, m) int8; scales (1, m) f32 -> (N, m) f32.
+
+    Quantizes the activation to int8 (per-tensor absmax) so the dot runs
+    the MXU's native int8 x int8 -> int32 path — the bf16-convert variant
+    (int8_gemv) binds on the int8->bf16 convert at ~309 GB/s
+    (scripts/diag_decode_breakdown.py); this one is weight-stream-bound.
+    Intended for the ROTATED int8 lm_head (runtime/loader.py packs
+    lm_head with an incoherence rotation so per-tensor activation absmax
+    is safe — raw final-norm hidden states have outlier channels)."""
+    N = x.shape[0]
+    xf = x.astype(jnp.float32)
+    sx = jnp.max(jnp.abs(xf)) / 127.0 + 1e-30
+    xq = jnp.round(xf / sx).astype(jnp.int8)
+    bm = _pick_width(m, candidates=(512, 256, 128))
+    out = pl.pallas_call(
+        _i8gemv_a8_kernel,
+        out_shape=jax.ShapeDtypeStruct((N, m), ACC),
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((N, k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bm), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((N, bm), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        compiler_params=(pltpu.CompilerParams(
+            dimension_semantics=("parallel",)) if _cparams() else None),
+        interpret=_interpret(),
+    )(xq, wq_t, scales)
+    return out * sx
 
 
 @functools.partial(jax.jit, static_argnames=("m", "k"))
@@ -984,7 +1091,7 @@ def decode_matmul(spec, p, z, luts):
                                   spec.mode, m, n, a8=a8)
     if spec.kind == "tcq2":
         return tcq2_decode_matmul(zb, p["trellis_pl"], spec.KV[0], m, n,
-                                  a8=a8)
+                                  a8=a8, mode=spec.mode)
     if spec.kind == "tcomb":
         if "trellisc_kt" in p:  # fused one-kernel path
             return tcomb_decode_matmul(zb, p["trellisc_kt"], p["clut"],

@@ -422,15 +422,20 @@ def forward(spec: ModelSpec, params: Params, tokens: jax.Array,
         return (x, new_caches) if kv_caches is not None else x
     if "lm_head_q" in params:
         # int8 per-row-quantized lm_head (TPU traffic optimization; the
-        # reference keeps lm_head fp16)
+        # reference keeps lm_head fp16).  When packed with an incoherence
+        # rotation (loader stores lm_head_su) the activation is rotated to
+        # match and the decode GEMV runs the int8 x int8 MXU path.
         xf = x.reshape(-1, cfg.hidden_size)
+        if "lm_head_su" in params:
+            xf = _rotate_in(xf, params["lm_head_su"].astype(xf.dtype))
         if xf.shape[0] <= 8:
-            from qpalette_tpu.kernels.fused import int8_gemv
-            logits = int8_gemv(xf, params["lm_head_q"],
-                               params["lm_head_s"], cfg.vocab_size,
-                               cfg.hidden_size)
+            from qpalette_tpu.kernels.fused import int8_gemv, int8_gemv_a8
+            gemv = int8_gemv_a8 if "lm_head_su" in params else int8_gemv
+            logits = gemv(xf, params["lm_head_q"],
+                          params["lm_head_s"], cfg.vocab_size,
+                          cfg.hidden_size)
         else:  # prefill/eval: one dequant + plain MXU matmul.  Scales are
-            # applied in f32 (matching int8_gemv's f32 epilogue) so prefill
+            # applied in f32 (matching the GEMV's f32 epilogue) so prefill
             # logits don't pick up an extra bf16 rounding of the scale.
             w = (params["lm_head_q"].astype(jnp.float32)
                  * params["lm_head_s"].astype(jnp.float32))

@@ -146,6 +146,29 @@ def decode_dualmad(x: np.ndarray) -> np.ndarray:
     return (np.stack(out, axis=1) / MAD_SCALE).astype(np.float32)
 
 
+def decode_sum2(x: np.ndarray) -> np.ndarray:
+    """V=2 arithmetic decoder with a HALVED MXU feed ('tcq2s'): ONE LCG
+    scramble h = u*A + B per weight pair; weight 0 = signed bytes b0+b1,
+    weight 1 = b2+b3.
+
+    vs decode_dualmad: the fused kernel stores one uint32 per PAIR (not
+    two), so the int8 byte matrix the MXU streams is 2 bytes/weight
+    instead of 4 — measured ~1.25-1.4x the fused dualmad rate on v5e
+    (scripts/proto_round3.py).  The marginal is Irwin-Hall-2 (triangular)
+    rather than Irwin-Hall-4, costing proxy err 0.0219 vs 0.0190 @3
+    bits/weight (scripts/proto_sum2_quality.py) — the latency-constrained
+    MSQ trades exactly this way (reference solve_lat_const.py picks
+    lower-quality/faster SIMT variants under a latency budget).
+    Returns (len(x), 2) float32."""
+    u = np.asarray(x).astype(np.uint64) & 0xFFFFFFFF
+    h = (u * MAD1_A + MAD1_B) & 0xFFFFFFFF
+    b = np.stack([(h >> (8 * i)) & 255 for i in range(4)],
+                 axis=1).astype(np.int64)
+    sb = np.where(b >= 128, b - 256, b)
+    out = np.stack([sb[:, 0] + sb[:, 1], sb[:, 2] + sb[:, 3]], axis=1)
+    return (out.astype(np.float64) / MAD_SCALE).astype(np.float32)
+
+
 def decode_2mad(x: np.ndarray) -> np.ndarray:
     """Two-stage LCG decoder (reference bitshift.py:28-39)."""
     x = np.asarray(x).astype(np.uint64) & 0xFFFFFFFF
@@ -187,6 +210,8 @@ def trellis_lut_arith(mode: str) -> np.ndarray:
         v = decode_3inst(s)
     elif mode == "dualmad":
         return decode_dualmad(s)  # (2^16, 2) — V=2
+    elif mode == "sum2":
+        return decode_sum2(s)  # (2^16, 2) — V=2, halved kernel feed
     else:
         raise ValueError(mode)
     return v[:, None].astype(np.float32)

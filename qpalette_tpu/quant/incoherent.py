@@ -56,7 +56,7 @@ class QuantizerSpec:
         """Bits per weight, excluding LUT overhead (cf. solver QDICT)."""
         if self.family in ("tcq1", "tcq1x2"):
             return float(self.KV[0])
-        if self.family in ("tcq", "tcq2"):
+        if self.family in ("tcq", "tcq2", "tcq2s"):
             return self.KV[0] / 2
         if self.family in ("tcomb", "comb"):
             return (self.KV[0] + self.KV[1]) / 4
@@ -70,10 +70,11 @@ def parse_quantizer_str(qstr: str) -> QuantizerSpec:
         _, kv, hess, scale = parts
         return QuantizerSpec(qstr, "tcq", hess == "hess", float(scale),
                              KV=(int(kv),))
-    if fam in ("tcq1", "tcq1x2", "tcq2"):
+    if fam in ("tcq1", "tcq1x2", "tcq2", "tcq2s"):
         # arithmetic-decode trellis: tcq1 = 1mad (V=1), tcq1x2 = 2mad (V=1),
         # tcq2 = dualmad (V=2, KV/2 bits/weight — fractional bitrates
-        # without comb splits)
+        # without comb splits), tcq2s = sum2 (V=2, halved MXU feed — the
+        # latency-optimal point of the palette)
         _, kv, hess, scale = parts
         return QuantizerSpec(qstr, fam, hess == "hess", float(scale),
                              KV=(int(kv),))
@@ -137,11 +138,11 @@ def quantize_linear(W, quantizer_str: str, SU=None, H=None,
     Wr = _rotate_weight(W, SU, rot_blocks)
     if spec.family in ("tcq", "tcomb", "comb"):
         cb_rms = lut_rms(trellis_lut(tlut_bits_for_kv(max(spec.KV))))
-    elif spec.family in ("tcq1", "tcq1x2", "tcq2"):
+    elif spec.family in ("tcq1", "tcq1x2", "tcq2", "tcq2s"):
         from qpalette_tpu.ops.codebooks import trellis_lut_arith
         cb_rms = lut_rms(trellis_lut_arith(
             {"tcq1": "1mad", "tcq1x2": "2mad",
-             "tcq2": "dualmad"}[spec.family]))
+             "tcq2": "dualmad", "tcq2s": "sum2"}[spec.family]))
     else:
         cb_rms = 1.0
     row_rms = jnp.sqrt(jnp.mean(Wr.astype(jnp.float64) ** 2, axis=1))
@@ -160,10 +161,11 @@ def quantize_linear(W, quantizer_str: str, SU=None, H=None,
             Wr, HRr, spec.KV[0],
             mode="1mad" if spec.family == "tcq1" else "2mad",
             use_hess=spec.use_hess and HRr is not None)
-    elif spec.family == "tcq2":
+    elif spec.family in ("tcq2", "tcq2s"):
         linear, hatWr = quantizers.quantize_mat_tcq2(
             Wr, HRr, spec.KV[0],
-            use_hess=spec.use_hess and HRr is not None)
+            use_hess=spec.use_hess and HRr is not None,
+            mode="sum2" if spec.family == "tcq2s" else "dualmad")
     elif spec.family == "tcomb":
         assert spec.ratio == 0.5, "only ratio=0.5 supported (as in reference)"
         linear, hatWr = quantizers.quantize_mat_combt(

@@ -223,17 +223,21 @@ def quantize_mat_tcq1(Wr, H, KV: int, mode: str = "1mad",
     return linear, hatW
 
 
-def quantize_mat_tcq2(Wr, H, KV: int, use_hess: bool = False):
+def quantize_mat_tcq2(Wr, H, KV: int, use_hess: bool = False,
+                      mode: str = "dualmad"):
     """V=2 arithmetic trellis (TPU-native 'tcq2'): KV bits per STATE =
     KV/2 bits per weight (odd KV gives fractional bitrates without comb
-    splits).  Decode = dual-mad signed-byte sums (ops/codebooks.py
-    decode_dualmad); the fused kernel derives one window per weight pair —
-    ~2x the VPU decode rate of tcq1 at equal reference quality."""
-    lut = jnp.asarray(trellis_lut_arith("dualmad"))
+    splits).  Decode modes (ops/codebooks.py):
+      dualmad — two LCG scrambles per pair, 4 signed bytes per weight on
+        the MXU; ~2x the VPU decode rate of tcq1 at reference quality.
+      sum2 ('tcq2s') — one scramble per pair, 2 signed bytes per weight
+        on the MXU; ~1.3x faster fused decode, slightly higher proxy err
+        (the latency-constrained point of the palette)."""
+    lut = jnp.asarray(trellis_lut_arith(mode))
     hatW, packed = _tcq2_core(Wr, H if H is not None else Wr[:1, :1] * 0,
                               lut, KV, use_hess and H is not None)
     linear = {
-        "kind": "tcq2", "KV": KV, "decode_mode": "dualmad",
+        "kind": "tcq2", "KV": KV, "decode_mode": mode,
         "trellis": np.asarray(packed),
         "in_features": Wr.shape[1], "out_features": Wr.shape[0],
     }

@@ -334,9 +334,11 @@ def dummy_artifact(qstr: str, shape, seed: int = 0) -> dict:
                        "decode_mode": "1mad" if spec.family == "tcq1"
                        else "2mad",
                        "in_features": n, "out_features": m}
-    elif spec.family == "tcq2":
+    elif spec.family in ("tcq2", "tcq2s"):
         art["meta"] = {"kind": "tcq2", "quantizer_str": qstr,
-                       "KV": spec.KV[0], "decode_mode": "dualmad",
+                       "KV": spec.KV[0],
+                       "decode_mode": ("sum2" if spec.family == "tcq2s"
+                                       else "dualmad"),
                        "in_features": n, "out_features": m}
     elif spec.family in ("ldlq", "sq", "vq2"):
         bits, vec = spec.bits, spec.vec
@@ -536,12 +538,25 @@ def build_quantized_model(cfg: LlamaConfig, qdict, merge_info=None,
                                  dtype))
         params["ln_f"] = jnp.ones((cfg.hidden_size,), dtype)
     if lm_head_bits == 8:
-        # per-row symmetric int8 lm_head, stored transposed (k, vocab) for
-        # the decode GEMV kernel (kernels/fused.int8_gemv)
+        # ROTATED per-row symmetric int8 lm_head, stored transposed
+        # (k, vocab) for the decode GEMV kernel (fused.int8_gemv_a8).
+        # The incoherence rotation (same left-only SU+Hadamard as the
+        # quantized layers) makes the activation near-Gaussian so the
+        # kernel's per-tensor int8 activation quantization is safe (raw
+        # final-norm hidden states have outlier channels), and tightens
+        # the per-row weight absmax.  The reference keeps lm_head fp16 —
+        # this is a TPU traffic optimization (halves the largest single
+        # per-token HBM stream).
+        from qpalette_tpu.ops.hadamard import hadamard_transform
+        h = cfg.hidden_size
+        su = jnp.asarray((np.random.default_rng(seed * 7 + 99)
+                          .standard_normal(h) > 0) * 2.0 - 1.0, jnp.float32)
         w = params.pop("lm_head").astype(jnp.float32)
+        w = hadamard_transform(w * su[None, :])
         s = jnp.max(jnp.abs(w), axis=1, keepdims=True) / 127.0 + 1e-12
         params["lm_head_q"] = jnp.round(w / s).astype(jnp.int8).T
         params["lm_head_s"] = s.astype(jnp.float32).T  # (1, vocab)
+        params["lm_head_su"] = su
     return spec, params
 
 

@@ -57,7 +57,7 @@ def dequant_weight(spec: LinearSpec, p: dict, luts: dict) -> jax.Array:
         return packing.dequant_tcq(p["trellis"], lut, m, n, spec.KV[0],
                                    v=1)
     if spec.kind == "tcq2":
-        return packing.dequant_tcq2(p["trellis"], luts["mad_dualmad"],
+        return packing.dequant_tcq2(p["trellis"], luts[f"mad_{spec.mode}"],
                                     m, n, spec.KV[0])
     if spec.kind == "tcomb":
         lut = luts[spec.tcq_lut_key()]

@@ -67,18 +67,14 @@ def time_scan(fn, *arrs, lo=16, hi=64):
     return (ts[hi] - ts[lo]) / (hi - lo)
 
 
-def bench_qdict(nl, scheme="tcq2mix"):
-    ugq = "tcq2_7_none_0.9"
-    qkvq = "tcq2_6_none_0.9"
+def bench_qdict(nl, scheme="sum2mix"):
     qd = {}
     for i in range(nl):
         for key in LAYER_KEYS:
-            if key in ("mlp.up_proj", "mlp.gate_proj"):
-                qd[f"{i}_{key}"] = ugq
-            elif key.startswith("self_attn.") and key != "self_attn.o_proj":
-                qd[f"{i}_{key}"] = qkvq
+            if key == "mlp.down_proj":
+                qd[f"{i}_{key}"] = "tcq2s_8_none_0.9"
             else:
-                qd[f"{i}_{key}"] = "tcq1_3_none_0.9"
+                qd[f"{i}_{key}"] = "tcq2s_6_none_0.9"
     return qd
 
 
@@ -121,10 +117,10 @@ def linear_time(qstr, m, n):
 
 def main():
     print("== linear groups (bench mix shapes) ==")
-    lins = [("qkv tcq2_6", "tcq2_6_none_0.9", 6144, 4096),
-            ("o   tcq1_3", "tcq1_3_none_0.9", 4096, 4096),
-            ("ug  tcq2_7", "tcq2_7_none_0.9", 28672, 4096),
-            ("down tcq1_3", "tcq1_3_none_0.9", 4096, 14336)]
+    lins = [("qkv tcq2s_6", "tcq2s_6_none_0.9", 6144, 4096),
+            ("o   tcq2s_6", "tcq2s_6_none_0.9", 4096, 4096),
+            ("ug  tcq2s_6", "tcq2s_6_none_0.9", 28672, 4096),
+            ("down tcq2s_8", "tcq2s_8_none_0.9", 4096, 14336)]
     tot_lin = 0.0
     for name, qstr, m, n in lins:
         t = linear_time(qstr, m, n)
@@ -132,13 +128,13 @@ def main():
         print(f"  {name}: {t * 1e6:8.1f} us  ({m * n / t / 1e9:.0f} Gw/s)")
     print(f"  sum per layer: {tot_lin * 1e6:.1f} us")
 
-    print("== lm_head int8 GEMV ==")
-    from qpalette_tpu.kernels.fused import int8_gemv
+    print("== lm_head int8 GEMV (a8, rotated) ==")
+    from qpalette_tpu.kernels.fused import int8_gemv_a8
     V, Hd = 128256, 4096
     wq = jnp.zeros((Hd, V), jnp.int8)
     sc = jnp.ones((1, V), jnp.float32)
     x = jnp.zeros((1, Hd), jnp.bfloat16)
-    t_lm = time_scan(lambda xx: int8_gemv(xx, wq, sc, V, Hd), x)
+    t_lm = time_scan(lambda xx: int8_gemv_a8(xx, wq, sc, V, Hd), x)
     print(f"  lm_head: {t_lm * 1e6:.1f} us  ({V * Hd / t_lm / 1e9:.0f} GB/s)")
 
     print("== rotation (1,4096) / (1,14336) ==")

@@ -292,3 +292,51 @@ def test_a8_path_close_to_exact(v2):
     y_a8 = np.asarray(f(x, True))
     rel = np.abs(y_a8 - y_exact).max() / (np.abs(y_exact).max() + 1e-9)
     assert rel < 0.05, rel
+
+
+@pytest.mark.parametrize("KV", [6, 7])
+def test_tcq2_sum2_kernel_matches_reference(KV):
+    """sum2 decode (one scramble per pair, 2 int8/weight MXU feed) ==
+    executable-spec decode; KV=6 exercises the DENSE planar layout
+    (true 3 bits/weight, sublane-roll carry), KV=7 the aligned one."""
+    from qpalette_tpu.ops.codebooks import trellis_lut_arith
+    m, k = 64, 128
+    rng = np.random.default_rng(40 + KV)
+    ntiles = (m // 16) * (k // 16)
+    words = rng.integers(0, 1 << 32, (ntiles, 4 * KV), dtype=np.uint32)
+    lut = trellis_lut_arith("sum2")
+    W = packing.dequant_tcq2(jnp.asarray(words), jnp.asarray(lut), m, k, KV)
+    x = jnp.asarray(rng.standard_normal((2, k)).astype(np.float32))
+    y_ref = np.asarray(x.astype(jnp.bfloat16).astype(jnp.float32) @ W.T)
+    tr_pl = kf.tcq2_planar_weights(jnp.asarray(words), m, k, KV)
+    y = np.asarray(fused.tcq2_decode_matmul(x.astype(jnp.bfloat16), tr_pl,
+                                            KV, m, k, mode="sum2"))
+    rel = np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-9)
+    assert rel < 0.03, rel
+    # dequant-to-HBM kernel agrees too (bf16 output rounding only)
+    Wt = np.asarray(fused.tcq2_dequant(tr_pl, KV, m, k,
+                                       mode="sum2")).astype(np.float32)
+    assert np.abs(Wt.T - np.asarray(W)).max() < 0.02
+
+
+def test_tcq1_dense_layout_matches_reference():
+    """Even-KV tcq1 planar layout is DENSE (formats.planar_dense): KV=4
+    stores exactly 4 bits/weight and still decodes bit-exactly."""
+    from qpalette_tpu.ops.codebooks import trellis_lut_arith
+    KV, m, k = 4, 64, 128
+    assert kf.planar_dense(KV)
+    rng = np.random.default_rng(7)
+    ntiles = (m // 16) * (k // 16)
+    words = rng.integers(0, 1 << 32, (ntiles, 8 * KV), dtype=np.uint32)
+    lut = trellis_lut_arith("1mad")
+    W = packing.dequant_tcq(jnp.asarray(words), jnp.asarray(lut), m, k, KV,
+                            v=1)
+    tr_pl = kf.tcq1_planar_weights(jnp.asarray(words), m, k, KV)
+    # dense layout really is KV/2 words per sublane (no inflation)
+    assert tr_pl.shape == (k // 16, (KV // 2) * 16, m // 16)
+    x = jnp.asarray(rng.standard_normal((1, k)).astype(np.float32))
+    y_ref = np.asarray(x.astype(jnp.bfloat16).astype(jnp.float32) @ W.T)
+    y = np.asarray(fused.tcq1_decode_matmul(x.astype(jnp.bfloat16), tr_pl,
+                                            KV, "1mad", m, k))
+    rel = np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-9)
+    assert rel < 0.03, rel

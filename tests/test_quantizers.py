@@ -370,3 +370,24 @@ def test_beam_refinement_improves_weighted_objective():
     lut = jnp.asarray(trellis_lut(l1["tlut_bits"]))
     dec = packing.dequant_tcq(jnp.asarray(l1["trellis"]), lut, m, n, KV)
     assert np.allclose(np.asarray(dec), np.asarray(hat1), atol=1e-5)
+
+
+def test_tcq2s_sum2_end_to_end():
+    """tcq2s (sum2 decode): exact pack round-trip against the spec decoder
+    and sane 3-bit distortion (proxy 0.0219 @ 512^2 — the latency-optimal
+    palette point, scripts/proto_sum2_quality.py)."""
+    from qpalette_tpu.ops.codebooks import trellis_lut_arith
+    rng = np.random.default_rng(11)
+    m, n = 32, 64
+    Wr = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
+    linear, hatW = quantizers.quantize_mat_tcq2(Wr, None, KV=6, mode="sum2")
+    assert linear["kind"] == "tcq2" and linear["decode_mode"] == "sum2"
+    lut = jnp.asarray(trellis_lut_arith("sum2"))
+    dec = packing.dequant_tcq2(jnp.asarray(linear["trellis"]), lut, m, n, 6)
+    assert np.allclose(np.asarray(dec), np.asarray(hatW), atol=1e-5)
+    mse = float(jnp.mean((hatW - Wr) ** 2))
+    assert mse < 0.07, mse
+
+    art = quantize_linear(np.asarray(Wr) * 0.02, "tcq2s_6_none_0.9", seed=0)
+    assert art["meta"]["decode_mode"] == "sum2"
+    assert art["meta"]["err"] < 0.2, art["meta"]["err"]
