@@ -45,7 +45,7 @@ def main():
     scheme = os.environ.get("QPT_BENCH_SCHEME", "sum2mix")
     impl = os.environ.get("QPT_BENCH_IMPL", "pallas_a8")
     n_layers = int(os.environ.get("QPT_BENCH_LAYERS", "32"))
-    n_tokens = int(os.environ.get("QPT_BENCH_TOKENS", "64"))
+    n_tokens = int(os.environ.get("QPT_BENCH_TOKENS", "256"))
 
     cfg = LlamaConfig.llama31_8b()
     full_layers = cfg.num_layers

@@ -28,8 +28,8 @@ import numpy as np
 # sample grid: one small-m, one large-m, one long-k group per family point
 SAMPLE_GROUPS = ["q", "ug", "d"]
 SAMPLE_QS = ["tcq1_3_none_0.9", "tcq1_4_none_0.9", "tcq2_6_none_0.9",
-             "tcq2_8_none_0.9", "tcq_6_none_0.9", "ldlq_1_4_none_1.0",
-             "ldlq_2_6_none_1.0"]
+             "tcq2_8_none_0.9", "tcq2s_6_none_0.9", "tcq2s_8_none_0.9",
+             "tcq_6_none_0.9", "ldlq_1_4_none_1.0", "ldlq_2_6_none_1.0"]
 
 
 def main():

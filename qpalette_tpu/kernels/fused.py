@@ -993,11 +993,22 @@ def _i8gemv_kernel(x_ref, w_ref, s_ref, o_ref):
     o_ref[:] = acc * s_ref[:]
 
 
-def _i8gemv_a8_kernel(x_ref, w_ref, s_ref, o_ref):
+def _i8gemv_a8_kernel(x_ref, w_ref, o_ref):
+    # short-K x wide-M int8 dot accumulated over k-chunks on the grid:
+    # one long-K narrow-M dot collapses Mosaic's int8 rate ~5x at N=1
+    # (docs/TPU_NOTES.md round-3 additions)
+    j = pl.program_id(1)
     acc = jax.lax.dot_general(
         x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
-    o_ref[:] = acc.astype(ACC) * s_ref[:]
+
+    @pl.when(j == 0)
+    def _init():
+        o_ref[:] = acc
+
+    @pl.when(j > 0)
+    def _acc():
+        o_ref[:] += acc
 
 
 @functools.partial(jax.jit, static_argnames=("m", "k"))
@@ -1015,26 +1026,28 @@ def int8_gemv_a8(x, wq_t, scales, m: int, k: int):
     xf = x.astype(jnp.float32)
     sx = jnp.max(jnp.abs(xf)) / 127.0 + 1e-30
     xq = jnp.round(xf / sx).astype(jnp.int8)
-    bm = _pick_width(m, candidates=(512, 256, 128))
+    bm = _pick_width(m, candidates=(2048, 1024, 512, 256, 128))
+    bk = _pick_width(k, candidates=(512, 256, 128))
+    while bk * bm * 2 > 8 << 20:  # stay under half the 16 MB scoped VMEM
+        bm //= 2
     out = pl.pallas_call(
         _i8gemv_a8_kernel,
-        out_shape=jax.ShapeDtypeStruct((N, m), ACC),
-        grid=(m // bm,),
+        out_shape=jax.ShapeDtypeStruct((N, m), jnp.int32),
+        grid=(m // bm, k // bk),
         in_specs=[
-            pl.BlockSpec((N, k), lambda i: (0, 0),
+            pl.BlockSpec((N, bk), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, bm), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bm), lambda i: (0, i),
+            pl.BlockSpec((bk, bm), lambda i, j: (j, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((N, bm), lambda i: (0, i),
+        out_specs=pl.BlockSpec((N, bm), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
         compiler_params=(pltpu.CompilerParams(
-            dimension_semantics=("parallel",)) if _cparams() else None),
+            dimension_semantics=("parallel", "arbitrary"))
+            if _cparams() else None),
         interpret=_interpret(),
-    )(xq, wq_t, scales)
-    return out * sx
+    )(xq, wq_t)
+    return out.astype(ACC) * (scales * sx)
 
 
 @functools.partial(jax.jit, static_argnames=("m", "k"))

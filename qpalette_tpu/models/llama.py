@@ -428,18 +428,19 @@ def forward(spec: ModelSpec, params: Params, tokens: jax.Array,
         xf = x.reshape(-1, cfg.hidden_size)
         if "lm_head_su" in params:
             xf = _rotate_in(xf, params["lm_head_su"].astype(xf.dtype))
+        mq = params["lm_head_q"].shape[1]  # vocab padded to a 2048 multiple
         if xf.shape[0] <= 8:
             from qpalette_tpu.kernels.fused import int8_gemv, int8_gemv_a8
             gemv = int8_gemv_a8 if "lm_head_su" in params else int8_gemv
             logits = gemv(xf, params["lm_head_q"],
-                          params["lm_head_s"], cfg.vocab_size,
-                          cfg.hidden_size)
+                          params["lm_head_s"], mq, cfg.hidden_size)
         else:  # prefill/eval: one dequant + plain MXU matmul.  Scales are
             # applied in f32 (matching the GEMV's f32 epilogue) so prefill
             # logits don't pick up an extra bf16 rounding of the scale.
             w = (params["lm_head_q"].astype(jnp.float32)
                  * params["lm_head_s"].astype(jnp.float32))
             logits = xf.astype(jnp.float32) @ w
+        logits = logits[:, :cfg.vocab_size]
         logits = logits.reshape(B, S, cfg.vocab_size)
     else:
         logits = (x.astype(jnp.float32)

@@ -64,11 +64,12 @@ def quantizer_proxy_err(qstr: str, size: int = 4096, seed: int = 0) -> float:
         _, hat = quantizers.quantize_mat_tcq1(Wr * (s / cbr), None,
                                               spec.KV[0], mode=mode)
         hat = hat * (cbr / s)
-    elif spec.family == "tcq2":
+    elif spec.family in ("tcq2", "tcq2s"):
         from qpalette_tpu.ops.codebooks import trellis_lut_arith, lut_rms
-        cbr = lut_rms(trellis_lut_arith("dualmad"))
+        mode = "sum2" if spec.family == "tcq2s" else "dualmad"
+        cbr = lut_rms(trellis_lut_arith(mode))
         _, hat = quantizers.quantize_mat_tcq2(Wr * (s / cbr), None,
-                                              spec.KV[0])
+                                              spec.KV[0], mode=mode)
         hat = hat * (cbr / s)
     elif spec.family == "ldlq":
         _, hat = quantizers.quantize_mat_vq(Wr * s, None, spec.bits,

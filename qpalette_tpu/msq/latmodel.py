@@ -43,6 +43,8 @@ def fit_family_model(samples: List[Tuple[str, float, float]]):
 
 
 def family_of(qstr: str) -> str:
+    if qstr.startswith("tcq2s"):
+        return "sum2"  # dense planar + halved MXU feed: fastest fit
     if qstr.startswith(("tcq1", "tcq2")):
         return "tcq1"  # arithmetic decode: different (faster) fit
     if qstr.startswith(("tcq", "tcomb", "comb")):
@@ -74,7 +76,10 @@ def build_lat_table(cfg: LlamaConfig, qlist: List[str],
         for q in qlist:
             fam = family_of(q)
             if fam not in family_params:  # e.g. tcq1 not sampled yet
-                fam = "tcq" if fam.startswith("tcq") else "vq"
+                for fb in ("tcq1", "tcq", "vq"):
+                    if fb in family_params:
+                        fam = fb
+                        break
             a, b = family_params[fam]
             lat = kernel_calls(g, q) * a + packed_bytes(cfg, g, q) * b
             for fl in impl_flags:

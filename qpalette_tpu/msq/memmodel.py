@@ -35,7 +35,7 @@ def layer_mem_bytes(cfg: LlamaConfig, key: str, quantizer_str: str) -> float:
                 + (1 << s.bits) * s.vec * 2)
     if s.family in ("tcq1", "tcq1x2"):
         return m * n * s.KV[0] / 8  # arithmetic decode: no LUT bytes
-    if s.family == "tcq2":
+    if s.family in ("tcq2", "tcq2s"):
         return m * n * s.KV[0] / 2 / 8  # V=2 arithmetic: KV/2 bits/weight
     if s.family == "tcq":
         tb = tlut_bits_for_kv(s.KV[0])

@@ -50,6 +50,10 @@ QDICT_LAT = dict(QDICT_MEM, **{
     # V=2 arithmetic trellis: KV/2 bits/weight, half the VPU decode work of
     # tcq1 and fractional bitrates at odd KV
     f"tcq2_{b}_none_0.9": b / 2 for b in range(4, 11)
+}, **{
+    # sum2 decode (one LCG scramble per pair, 2 int8/weight MXU feed,
+    # dense planar layout) — the latency-optimal family on v5e
+    f"tcq2s_{b}_none_0.9": b / 2 for b in range(4, 11)
 })
 
 SIMPLE2KEY = {

@@ -102,6 +102,13 @@ def hadamard_matrix(k: int) -> np.ndarray:
         q = k // 2 - 1
         if k % 8 == 4 and _is_prime(q) and q % 4 == 1:
             return _paley2(q).astype(np.float64)
+    if k % 2 == 0:
+        # Composite even order: H_k = H_{k/2} ⊗ H_2.  Entries stay ±1
+        # whenever the odd core is Paley/Sylvester-constructible (e.g.
+        # 56 = 28·2, 112 = 28·4) — lets get_had_factors use wide sublane
+        # factors without losing incoherence flatness.
+        H2 = np.array([[1.0, 1.0], [1.0, -1.0]])
+        return np.kron(hadamard_matrix(k // 2), H2)
     # Fallback: seeded random orthogonal, scaled to match H H^T = k I.
     rng = np.random.default_rng(k * 7919 + 13)
     A = rng.standard_normal((k, k))
@@ -144,16 +151,22 @@ def get_had_factors(n: int) -> tuple[int, ...]:
             K = m
     p2 = n // K
     assert p2 & (p2 - 1) == 0, f"n={n} must be K * 2^p"
+    if n <= 256:
+        return (n,)
+    # Exactly two factors (a, b), both ≤ 256: _apply then runs ONE
+    # relayout-free dual matmul (Haᵀ X H_b) instead of a moveaxis+dot per
+    # factor — the 3-factor loop cost ~63 µs per (1, 14336) decode
+    # rotation (scripts/diag_decode_breakdown.py), pure small-op overhead.
+    for b in (256, 128, 64, 32, 16, 8, 4, 2):
+        if p2 % b == 0 and n // b <= 256:
+            return (n // b, b)
+    # n > 65536: fall back to >2 Kronecker factors
     factors = [] if K == 1 else [K]
-    # split 2^p into factors ≤ 256, largest last (last axis = 128 lanes)
     while p2 > 256:
         factors.append(256)
         p2 //= 256
     if p2 > 1:
         factors.append(p2)
-    if not factors:
-        factors = [1]
-    # keep the largest power-of-two factor on the innermost (lane) axis
     factors = [factors[0]] + sorted(factors[1:])
     return tuple(factors)
 
@@ -178,6 +191,15 @@ def _apply(x: jax.Array, n: int, transpose: bool) -> jax.Array:
     orig_dtype = x.dtype
     cdt = jnp.float32 if x.dtype != jnp.float64 else jnp.float64
     facs, mats = _factor_mats(n, transpose, str(np.dtype(cdt)))
+    if len(facs) == 2:
+        # one dual-sided contraction (Hₐ'X H_b'): two MXU matmuls, no
+        # relayouts — the decode-path fast case (all Llama dims)
+        a, b = facs
+        x2 = x.reshape((-1, a, b)).astype(cdt)
+        y = jnp.einsum("zij,ia,jb->zab", x2, jnp.asarray(mats[0]),
+                       jnp.asarray(mats[1]))
+        y = y * np.float64(n) ** -0.5
+        return y.reshape(orig_shape).astype(orig_dtype)
     x = x.reshape((-1,) + facs).astype(cdt)
     # contract each factor axis with its (small) Hadamard matrix on the MXU
     for ax, H in enumerate(mats):

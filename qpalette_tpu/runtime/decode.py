@@ -31,9 +31,15 @@ def sample_logits(logits: jax.Array, key: jax.Array, temperature: float,
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits / max(temperature, 1e-5)
     if top_k is not None:
-        v, _ = jax.lax.top_k(logits, top_k)
-        pivot = v[:, -1:]
-        logits = jnp.where(logits < pivot, -jnp.inf, logits)
+        # Sample among the top-k values directly: identical in law to
+        # gumbel-argmax over the top-k-masked vocab, but the gumbel draw
+        # is (B, k) instead of (B, vocab) — full-vocab threefry + argmax
+        # cost ~1 ms/token on a 128k vocab (v5e measurement).
+        v, idx = jax.lax.top_k(logits, top_k)
+        g = jax.random.gumbel(key, v.shape)
+        choice = jnp.argmax(v + g, axis=-1)
+        return jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0] \
+            .astype(jnp.int32)
     g = jax.random.gumbel(key, logits.shape)
     return jnp.argmax(logits + g, axis=-1).astype(jnp.int32)
 

@@ -554,8 +554,17 @@ def build_quantized_model(cfg: LlamaConfig, qdict, merge_info=None,
         w = params.pop("lm_head").astype(jnp.float32)
         w = hadamard_transform(w * su[None, :])
         s = jnp.max(jnp.abs(w), axis=1, keepdims=True) / 127.0 + 1e-12
-        params["lm_head_q"] = jnp.round(w / s).astype(jnp.int8).T
-        params["lm_head_s"] = s.astype(jnp.float32).T  # (1, vocab)
+        q = jnp.round(w / s).astype(jnp.int8).T
+        sT = s.astype(jnp.float32).T  # (1, vocab)
+        # pad vocab to a 2048 multiple (128256 = 2^8·3·167 — widest
+        # power-of-2 divisor is only 256) so the decode GEMV can use wide
+        # m-blocks; model forward slices logits back to vocab_size
+        mpad = (-q.shape[1]) % 2048
+        if mpad:
+            q = jnp.pad(q, ((0, 0), (0, mpad)))
+            sT = jnp.pad(sT, ((0, 0), (0, mpad)), constant_values=1.0)
+        params["lm_head_q"] = q
+        params["lm_head_s"] = sT
         params["lm_head_su"] = su
     return spec, params
 
