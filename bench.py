@@ -99,7 +99,11 @@ def main():
                                    max_new_tokens=n_tokens,
                                    max_seq=2 * n_tokens, temperature=0.6,
                                    top_k=5)
-        return stats, model_bytes(params)
+        # streamed-per-token bytes: every weight EXCEPT the embedding
+        # table (one row gathered per token, not streamed)
+        mb = model_bytes(params)
+        mb -= params["embed"].size * params["embed"].dtype.itemsize
+        return stats, mb
 
     extrapolated = False
     n_run = n_layers
@@ -120,11 +124,22 @@ def main():
         if scheme in ("tcq1mix", "tcq2mix", "sum2mix") else "3.25-bit"
     metric = (f"decode tokens/s/chip bs=1 Llama-3.1-8B {bits_label}"
               + (" (extrapolated)" if extrapolated else ""))
+    # roofline accounting (SURVEY §5.1 / reference measure_latency.py
+    # GB/s prints): every decoded token streams all packed weights + the
+    # int8 lm_head once; KV-cache reads add ~2% at T=512 and are omitted.
+    gbps = mbytes * (full_layers / n_run) * float(toks) / 1e9
     print(json.dumps({
         "metric": metric,
         "value": round(float(toks), 2),
         "unit": "tokens/s",
         "vs_baseline": round(float(toks) / BASELINE_TOKS, 4),
+        "achieved_GBps": round(gbps, 1),
+        "streamed_GB_per_token": round(mbytes * (full_layers / n_run) / 1e9,
+                                       3),
+        # 819 GB/s = v5e HBM spec; 690 GB/s = measured dense-stream
+        # ceiling on this chip (docs/TPU_NOTES.md)
+        "roofline_frac_spec": round(gbps / 819.0, 3),
+        "roofline_frac_measured": round(gbps / 690.0, 3),
     }))
 
 

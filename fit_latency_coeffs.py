@@ -25,8 +25,9 @@ import time
 
 import numpy as np
 
-# sample grid: one small-m, one large-m, one long-k group per family point
-SAMPLE_GROUPS = ["q", "ug", "d"]
+# sample grid: small-m (q), merged attn (qkv), merged mlp (ug), row-long-k
+# (d) and o — covers the shapes the fusion-aware solver actually mixes
+SAMPLE_GROUPS = ["q", "qkv", "o", "ug", "d"]
 SAMPLE_QS = ["tcq1_3_none_0.9", "tcq1_4_none_0.9", "tcq2_6_none_0.9",
              "tcq2_8_none_0.9", "tcq2s_6_none_0.9", "tcq2s_8_none_0.9",
              "tcq_6_none_0.9", "ldlq_1_4_none_1.0", "ldlq_2_6_none_1.0"]

@@ -577,15 +577,57 @@ def _tcq2_x4(x, gk, tk):
 # (scripts/tune_sum2.py medians on v5e); missing shapes fall back to the
 # heuristic below.
 _TUNE_TABLE = {
-    ("sum2", 6144, 4096): dict(tk=32, wm=128, cc=8, pingpong=True),
-    ("sum2", 4096, 4096): dict(tk=32, wm=256, cc=8, pingpong=True),
-    ("sum2", 28672, 4096): dict(tk=64, wm=256, cc=8, pingpong=True),
-    ("sum2", 4096, 14336): dict(tk=64, wm=256, cc=16, pingpong=True),
+    # round-4 sweep (scripts/tune_r4_qkv_o.py): wm=384 makes qkv a
+    # single-m-block grid (24 -> 8 steps, 364 -> 1246 Gw/s isolated)
+    ("sum2", 6144, 4096): dict(tk=32, wm=384, cc=8, pingpong=False),
+    ("sum2", 4096, 4096): dict(tk=64, wm=256, cc=8, pingpong=True),
+    ("sum2", 28672, 4096): dict(tk=64, wm=256, cc=8, pingpong=False),
+    ("sum2", 4096, 14336): dict(tk=32, wm=256, cc=8, pingpong=True),
 }
 
 
+def _rot_prep(x, su, blocks: int, n: int, repeat: int, gk: int):
+    """Fused incoherence-rotation + byte-row-repeat activation prep.
+
+    Computes z = (x ⊙ su) @ Ĥᵀ (models/llama._rotate_in semantics, incl.
+    block-diagonal rcp rotations) with the kernel's lane-repeat FOLDED into
+    the rotation's second Kronecker factor: duplicating H_b's columns
+    `repeat`× makes the contraction emit out[..., r*(i*b+j)+q] =
+    z[i*b+j] directly — the row-major flatten of (a, repeat*b) IS the
+    repeated flat vector.  This deletes the separate jnp.repeat relayout
+    (the costliest XLA op in the old prep at (1, 28672)) and the bf16
+    round-trip between rotation and quantization (the north star's
+    "rotation fused into the matmul prologue").
+
+    Returns (gk, N, repeat*n/gk) float32.
+    """
+    from qpalette_tpu.ops.hadamard import _factor_mats, get_had_factors
+    nb = n // blocks
+    facs = get_had_factors(nb)
+    assert len(facs) <= 2, facs
+    N = x.shape[0]
+    y = x.astype(jnp.float32) * su.astype(jnp.float32)[None, :]
+    scale = np.float64(nb) ** -0.5
+    if len(facs) == 1:
+        _, mats = _factor_mats(nb, True, "float32")
+        Hb2 = np.repeat(mats[0], repeat, axis=1) * scale
+        z = jax.lax.dot_general(
+            y.reshape(N * blocks, nb), jnp.asarray(Hb2),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    else:
+        a, b = facs
+        _, mats = _factor_mats(nb, True, "float32")
+        Hb2 = np.repeat(mats[1], repeat, axis=1) * scale
+        z = jnp.einsum("zij,ia,jb->zab", y.reshape(N * blocks, a, b),
+                       jnp.asarray(mats[0]), jnp.asarray(Hb2))
+    # flat (N, repeat*n), chunk-contiguous -> (gk, N, repeat*chunk)
+    z = z.reshape(N, gk, repeat * n // gk)
+    return z.transpose(1, 0, 2)
+
+
 def _arith_decode_matmul(x, tr_pl, KV: int, mode: str, m: int, k: int,
-                         v2: bool, a8: bool, tune: tuple = ()):
+                         v2: bool, a8: bool, tune: tuple = (),
+                         pre_rot=None):
     """Shared host wrapper for tcq1/tcq2/tcq2s fused decode (see
     _arith_kernel).
 
@@ -620,7 +662,14 @@ def _arith_decode_matmul(x, tr_pl, KV: int, mode: str, m: int, k: int,
                         a8 and (sum2 or m <= 4096) and tk // cc >= 2)
     pingpong = pingpong and tk // cc >= 2
 
-    if sum2:  # natural pair order: pair t = cols (2t, 2t+1)
+    if pre_rot is not None:
+        # x is the UN-rotated activation; rotation + repeat fused in one
+        # contraction chain (see _rot_prep).  dualmad's interleaved even/
+        # odd permutation is not a plain repeat — callers must not fuse it.
+        assert not (v2 and mode == "dualmad"), "pre_rot unsupported: dualmad"
+        su_r, blocks_r = pre_rot
+        xp = _rot_prep(x, su_r, blocks_r, k, 2 if sum2 else 4, gk)
+    elif sum2:  # natural pair order: pair t = cols (2t, 2t+1)
         xp = jnp.repeat(x.reshape(N, gk, tk * 16).transpose(1, 0, 2), 2,
                         axis=2)
     elif v2:
@@ -628,6 +677,14 @@ def _arith_decode_matmul(x, tr_pl, KV: int, mode: str, m: int, k: int,
     else:
         xp = jnp.repeat(x.reshape(N, gk, tk * 16).transpose(1, 0, 2), 4,
                         axis=2)
+    sumx = None
+    if not v2:
+        # +2*sum(z) epilogue needs the ROTATED activation's sum; derive it
+        # from xp (each z entry appears 4x) so the fused-rot path never
+        # materializes z separately
+        sumx = (jnp.sum(xp.astype(jnp.float32), axis=(0, 2))[None, :].T
+                / 4.0) if pre_rot is not None else \
+            jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
     sx = None
     if a8:
         sx = (jnp.max(jnp.abs(xp.astype(jnp.float32)))
@@ -664,7 +721,6 @@ def _arith_decode_matmul(x, tr_pl, KV: int, mode: str, m: int, k: int,
     if a8:
         out = out * sx
     if not v2:  # XOR'd bytes: signed sum = unsigned - 512 => +2 epilogue
-        sumx = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
         out = (out + 2.0 * sumx) * _MAD_INV
     else:
         out = out * _MAD_INV
@@ -673,26 +729,34 @@ def _arith_decode_matmul(x, tr_pl, KV: int, mode: str, m: int, k: int,
             .reshape(N, m))
 
 
-@functools.partial(jax.jit, static_argnames=("KV", "mode", "m", "k", "a8"))
+@functools.partial(jax.jit, static_argnames=("KV", "mode", "m", "k", "a8",
+                                              "rot_blocks"))
 def tcq1_decode_matmul(x, tr_pl, KV: int, mode: str, m: int, k: int,
-                       a8: bool = False):
+                       a8: bool = False, su=None, rot_blocks: int = 1):
     """x (N, k); tr_pl (k/16, NP*16, m/16) uint32 planar layout
     (formats.tcq1_planar_weights).  Returns (N, m) f32 = x @ W^T.
 
-    mode in {1mad, 2mad}; a8=True uses the int8-activation MXU path."""
-    return _arith_decode_matmul(x, tr_pl, KV, mode, m, k, v2=False, a8=a8)
+    mode in {1mad, 2mad}; a8=True uses the int8-activation MXU path.
+    su!=None: x is UN-rotated; the incoherence rotation (x ⊙ su) @ Ĥᵀ
+    (block-diagonal over rot_blocks) is fused into the activation prep."""
+    pre_rot = None if su is None else (su, rot_blocks)
+    return _arith_decode_matmul(x, tr_pl, KV, mode, m, k, v2=False, a8=a8,
+                                pre_rot=pre_rot)
 
 
 @functools.partial(jax.jit, static_argnames=("KV", "m", "k", "a8", "mode",
-                                              "tune"))
+                                              "tune", "rot_blocks"))
 def tcq2_decode_matmul(x, tr_pl, KV: int, m: int, k: int, a8: bool = False,
-                       mode: str = "dualmad", tune: tuple = ()):
+                       mode: str = "dualmad", tune: tuple = (), su=None,
+                       rot_blocks: int = 1):
     """x (N, k); tr_pl (k/16, NP*8, m/16) uint32 planar layout
     (formats.tcq2_planar_weights).  Returns (N, m) f32 = x @ W^T.
 
-    mode: 'dualmad' (tcq2) or 'sum2' (tcq2s, halved MXU feed)."""
+    mode: 'dualmad' (tcq2) or 'sum2' (tcq2s, halved MXU feed).
+    su!=None (sum2 only): fused-rotation prologue, see tcq1_decode_matmul."""
+    pre_rot = None if su is None else (su, rot_blocks)
     return _arith_decode_matmul(x, tr_pl, KV, mode, m, k, v2=True,
-                                a8=a8, tune=tune)
+                                a8=a8, tune=tune, pre_rot=pre_rot)
 
 
 def _tcq2_dequant_kernel(tr_ref, o_ref, *, KV, tk, wm, NP, mode, dense):
@@ -1030,6 +1094,9 @@ def int8_gemv_a8(x, wq_t, scales, m: int, k: int):
     bk = _pick_width(k, candidates=(512, 256, 128))
     while bk * bm * 2 > 8 << 20:  # stay under half the 16 MB scoped VMEM
         bm //= 2
+    # _pick_width may fall back to bm=m for awkward m; halving then can
+    # leave a non-divisor and the grid would silently skip trailing columns
+    assert m % bm == 0 and k % bk == 0, (m, bm, k, bk)
     out = pl.pallas_call(
         _i8gemv_a8_kernel,
         out_shape=jax.ShapeDtypeStruct((N, m), jnp.int32),
@@ -1083,16 +1150,30 @@ def int8_gemv(x, wq_t, scales, m: int, k: int):
 # dispatch used by runtime/qlinear.py (impl='pallas')
 # ---------------------------------------------------------------------------
 
-def decode_matmul(spec, p, z, luts):
+def decode_matmul(spec, p, z, luts, pre_rot=None):
     """Fused path entry: expects kernel-format params prepared by the
     loader (keys qweight_t / trellis_kt / clut).
 
     impl 'pallas_a8' selects the int8-activation MXU path for the
     arithmetic-trellis kinds (the TPU analogue of the reference's SIMT
-    kernel-variant flag; see _arith_kernel)."""
+    kernel-variant flag; see _arith_kernel).
+
+    pre_rot=(su, rot_blocks): z is UN-rotated; the incoherence rotation is
+    fused into the activation prep (tcq1 / tcq2-sum2 only — callers must
+    check qlinear.can_fuse_rot)."""
     m, n = spec.out_features, spec.in_features
-    zb = z.astype(DDT)
     a8 = spec.impl == "pallas_a8"
+    if pre_rot is not None:
+        assert spec.kind in ("tcq1", "tcq2"), spec.kind
+        su_r, blocks_r = pre_rot
+        if spec.kind == "tcq1":
+            return tcq1_decode_matmul(z, p["trellis_pl"], spec.KV[0],
+                                      spec.mode, m, n, a8=a8, su=su_r,
+                                      rot_blocks=blocks_r)
+        return tcq2_decode_matmul(z, p["trellis_pl"], spec.KV[0], m, n,
+                                  a8=a8, mode=spec.mode, su=su_r,
+                                  rot_blocks=blocks_r)
+    zb = z.astype(DDT)
     if spec.kind == "vq":
         return vq_decode_matmul(zb, p["qweight_t"], p["clut"],
                                 spec.bits, spec.vec, m, n)

@@ -251,15 +251,25 @@ def attn_forward(spec: AttnSpec, cfg: LlamaConfig, p: dict, x: jax.Array,
     the mesh axis for the o_proj partial-sum reduction."""
     B, S, N = x.shape
     rotated = spec.projs[0][1].kind != "dense"
-    if rotated:
+    non_o = [(nm, ls) for nm, ls in spec.projs if nm != "o"]
+    # single-projection groups (merged qkv) hand the UN-rotated activation
+    # to qlinear_apply, which fuses the incoherence rotation into the
+    # decode kernel's activation prologue when the kernel supports it
+    # (runtime/qlinear.can_fuse_rot) and applies it explicitly otherwise;
+    # multi-projection groups share one rotated z (computing it per
+    # projection would duplicate the transform)
+    fuse_qkv = rotated and len(non_o) == 1
+    if rotated and not fuse_qkv:
         z = _rotate_in(x.reshape(-1, N), p["su_qkv"]).reshape(B, S, N)
     else:
         z = x
     outs = {}
-    for name, lspec in spec.projs:
-        if name == "o":
-            continue
-        y = qlinear_apply(lspec, p[name], z.reshape(-1, N), luts)
+    for name, lspec in non_o:
+        if fuse_qkv:
+            y = qlinear_apply(lspec, p[name], x.reshape(-1, N), luts,
+                              pre_rot=(p["su_qkv"], 1))
+        else:
+            y = qlinear_apply(lspec, p[name], z.reshape(-1, N), luts)
         outs[name] = y.reshape(B, S, -1)
     # q width = heads*head_dim (== hidden when unsharded; the local value
     # under tensor parallelism), kv width analogous
@@ -328,14 +338,14 @@ def attn_forward(spec: AttnSpec, cfg: LlamaConfig, p: dict, x: jax.Array,
 
     att = _attention(q, k_full, v_full, offset, cfg)
     qw = att.shape[-1]  # heads*head_dim (local width under tp)
-    if rotated:
-        zo = _rotate_in(att.reshape(-1, qw), p["su_o"],
-                        blocks=spec.rot_blocks_o)
-    else:
-        zo = att.reshape(-1, qw)
     oname, ospec = spec.projs[-1]
     assert oname == "o"
-    out = qlinear_apply(ospec, p["o"], zo, luts).reshape(B, S, N)
+    if rotated:  # single projection: rotation fused (or applied inside)
+        out = qlinear_apply(ospec, p["o"], att.reshape(-1, qw), luts,
+                            pre_rot=(p["su_o"], spec.rot_blocks_o))
+    else:
+        out = qlinear_apply(ospec, p["o"], att.reshape(-1, qw), luts)
+    out = out.reshape(B, S, N)
     if tp_axis is not None:  # row-parallel o_proj partial sums
         out = jax.lax.psum(out, tp_axis)
     return out, new_kv
@@ -346,21 +356,27 @@ def mlp_forward(spec: MLPSpec, cfg: LlamaConfig, p: dict, x: jax.Array,
     B, S, N = x.shape
     I = cfg.intermediate_size  # local value under tensor parallelism
     rotated = spec.projs[0][1].kind != "dense"
-    z = (_rotate_in(x.reshape(-1, N), p["su_ug"]) if rotated
-         else x.reshape(-1, N))
-    if spec.merge_ug:
+    if spec.merge_ug:  # single projection: fuse rotation into the kernel
         (ug_name, ug_spec), (_, d_spec) = spec.projs
-        y = qlinear_apply(ug_spec, p["ug"], z, luts)
+        if rotated:
+            y = qlinear_apply(ug_spec, p["ug"], x.reshape(-1, N), luts,
+                              pre_rot=(p["su_ug"], 1))
+        else:
+            y = qlinear_apply(ug_spec, p["ug"], x.reshape(-1, N), luts)
         up, gate = y[:, :I], y[:, I:]
     else:
+        z = (_rotate_in(x.reshape(-1, N), p["su_ug"]) if rotated
+             else x.reshape(-1, N))
         (_, u_spec), (_, g_spec), (_, d_spec) = spec.projs
         up = qlinear_apply(u_spec, p["up"], z, luts)
         gate = qlinear_apply(g_spec, p["gate"], z, luts)
     h = jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)
     h = h.astype(x.dtype)
-    zd = (_rotate_in(h, p["su_dp"], blocks=spec.rot_blocks_down)
-          if rotated else h)
-    out = qlinear_apply(d_spec, p["down"], zd, luts)
+    if rotated:
+        out = qlinear_apply(d_spec, p["down"], h, luts,
+                            pre_rot=(p["su_dp"], spec.rot_blocks_down))
+    else:
+        out = qlinear_apply(d_spec, p["down"], h, luts)
     if tp_axis is not None:  # row-parallel down_proj partial sums
         out = jax.lax.psum(out, tp_axis)
     return out.reshape(B, S, N)

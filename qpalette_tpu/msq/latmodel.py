@@ -80,6 +80,8 @@ def build_lat_table(cfg: LlamaConfig, qlist: List[str],
                     if fb in family_params:
                         fam = fb
                         break
+                else:  # none of the named fallbacks sampled either
+                    fam = next(iter(family_params))
             a, b = family_params[fam]
             lat = kernel_calls(g, q) * a + packed_bytes(cfg, g, q) * b
             for fl in impl_flags:

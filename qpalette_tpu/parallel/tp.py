@@ -21,10 +21,20 @@ Per token this costs 2 psums/layer (o, down) instead of the 2 activation
 all-gathers of the naive everything-column-parallel scheme, and every
 weight byte is read by exactly one chip.
 
-Constraints (asserted): heads, kv-heads and intermediate divisible by tp;
-no merged projections (merged row-concat layouts would need shard-
-interleaved packing); o/down must use non-split schemes (tcq/tcq1/vq/
-dense — the input-split tcomb would straddle shard boundaries).
+Merged projections (fused qkv / ug) ARE column-parallel-shardable: the
+merged weight is a row-concat [Wq; Wk; Wv], and shard s needs rows
+[q_s | k_s | v_s] — a non-contiguous slice of the merged row order.  We
+pre-permute the m-tile axis of the packed arrays once at placement time
+(shard_interleave_merged) so each shard's rows are contiguous, after which
+a plain PartitionSpec over the tile axis is correct and the local forward's
+split points (local hs / kv widths) line up.  This realizes the row-concat
+merge semantics of the reference (tcq_linear.merge_infos) under sharding.
+
+Constraints (asserted): heads, kv-heads and intermediate divisible by tp
+(and each merged part's tile count by tp); o/down must use non-split
+schemes (tcq/tcq1/tcq2/vq/dense — the input-split tcomb would straddle
+shard boundaries; the planar tcq1/tcq2 layouts split cleanly on k-tile
+boundaries because every 16×16 tile's bitstream is self-contained).
 """
 
 from __future__ import annotations
@@ -33,6 +43,7 @@ import dataclasses
 from functools import partial
 from typing import Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -43,6 +54,30 @@ from qpalette_tpu.models.llama import (AttnSpec, LlamaConfig, MLPSpec,
 
 COL_PROJS = ("q", "k", "v", "up", "gate")
 ROW_PROJS = ("o", "down")
+MERGED_PROJS = ("qkv", "qk", "kv", "qv", "ug")
+
+
+def _merged_parts(cfg: LlamaConfig, name: str):
+    """Output-row widths of a merged projection's parts (loader order)."""
+    hs = cfg.num_heads * cfg.head_dim
+    kv = cfg.kv_out
+    I = cfg.intermediate_size
+    return {"qkv": (hs, kv, kv), "qk": (hs, kv), "kv": (kv, kv),
+            "qv": (hs, kv), "ug": (I, I)}[name]
+
+
+def _shard_interleave(counts, tp: int) -> np.ndarray:
+    """Permutation over sum(counts) positions: concat-of-parts order ->
+    shard-major order (shard s gets part_i[s*ci/tp:(s+1)*ci/tp] for all i,
+    contiguously)."""
+    offs = np.cumsum([0] + list(counts[:-1]))
+    out = []
+    for s in range(tp):
+        for c, o in zip(counts, offs):
+            assert c % tp == 0, (counts, tp)
+            step = c // tp
+            out.extend(range(o + s * step, o + (s + 1) * step))
+    return np.asarray(out, np.int64)
 
 
 def _scale_linear_spec(lspec, tp: int, row: bool):
@@ -50,7 +85,8 @@ def _scale_linear_spec(lspec, tp: int, row: bool):
     from qpalette_tpu.runtime.qlinear import LinearSpec
     d = dataclasses.asdict(lspec)
     if row:
-        assert lspec.kind in ("tcq", "tcq1", "vq", "dense", "dense_rot"), \
+        assert lspec.kind in ("tcq", "tcq1", "tcq2", "vq", "dense",
+                              "dense_rot"), \
             f"row-parallel unsupported for split scheme {lspec.kind}"
         assert lspec.in_features % tp == 0
         if lspec.kind == "vq":
@@ -83,8 +119,6 @@ def localize_spec(spec: ModelSpec, tp: int, axis: str = "tp") -> ModelSpec:
                                intermediate_size=cfg.intermediate_size // tp)
     layers = []
     for aspec, mspec in spec.layers:
-        assert aspec.merge is None and not mspec.merge_ug, \
-            "tensor-parallel path requires unmerged projections"
         assert aspec.rot_blocks_o == tp and mspec.rot_blocks_down == tp, (
             "row-parallel layers must be quantized with rot_blocks=tp "
             f"(got o={aspec.rot_blocks_o}, down={mspec.rot_blocks_down})")
@@ -94,9 +128,11 @@ def localize_spec(spec: ModelSpec, tp: int, axis: str = "tp") -> ModelSpec:
         mprojs = tuple(
             (nm, _scale_linear_spec(ls, tp, row=(nm == "down")))
             for nm, ls in mspec.projs)
-        # local rotation = full Hadamard of the local shard width
-        layers.append((AttnSpec(None, aprojs, rot_blocks_o=1),
-                       MLPSpec(False, mprojs, rot_blocks_down=1)))
+        # local rotation = full Hadamard of the local shard width; merged
+        # projections stay merged (shard_tp_params pre-permutes their
+        # m-tiles so each shard's [q_s|k_s|v_s] rows are contiguous)
+        layers.append((AttnSpec(aspec.merge, aprojs, rot_blocks_o=1),
+                       MLPSpec(mspec.merge_ug, mprojs, rot_blocks_down=1)))
     return ModelSpec(lcfg, tuple(layers), tp_axis=axis)
 
 
@@ -147,7 +183,50 @@ def param_pspecs(spec: ModelSpec, params, axis: str = "tp"):
     return pspecs
 
 
+def _permute_merged_leaf(leaf: str, arr, perm1, perm16):
+    """Reorder a merged projection's output rows into shard-major order."""
+    if leaf == "wscale":
+        return arr[perm1]
+    if leaf in ("trellis_kt", "trellis1_kt", "trellis2_kt", "trellis_pl",
+                "trellisc_kt"):
+        return arr[:, :, perm16]          # (k/16, words, m/16)
+    if leaf == "qweight_t":
+        return arr[:, :, perm1]           # (8, words, m)
+    if leaf == "w":
+        return arr[perm1]                 # dense (m, n)
+    if leaf in ("lut", "clut"):
+        return arr
+    if leaf == "trellis":
+        raise NotImplementedError(
+            "tp path needs kernel (impl='pallas') layouts for merged "
+            "projections; canonical 'trellis' rows mix m- and k-tiles")
+    return arr
+
+
+def shard_interleave_merged(params, spec: ModelSpec, tp: int):
+    """Pre-permute merged projections' m-tiles to shard-major order so a
+    plain PartitionSpec over the tile axis gives each shard contiguous
+    [q_s | k_s | v_s] rows (see module docstring)."""
+    cfg = spec.config
+    out_layers = []
+    for lp in params["layers"]:
+        nlp = dict(lp)
+        for name in MERGED_PROJS:
+            if name not in nlp:
+                continue
+            parts = _merged_parts(cfg, name)
+            perm1 = _shard_interleave(parts, tp)
+            perm16 = _shard_interleave([p // 16 for p in parts], tp)
+            nlp[name] = {leaf: _permute_merged_leaf(leaf, a, perm1, perm16)
+                         for leaf, a in nlp[name].items()}
+        out_layers.append(nlp)
+    return dict(params, layers=out_layers)
+
+
 def shard_tp_params(params, spec: ModelSpec, mesh: Mesh, axis: str = "tp"):
+    tp = mesh.shape[axis]
+    if tp > 1:
+        params = shard_interleave_merged(params, spec, tp)
     pspecs = param_pspecs(spec, params, axis)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),

@@ -205,6 +205,7 @@ def quantize_linear(W, quantizer_str: str, SU=None, H=None,
     kurt = float(jnp.mean(jnp.mean(Wn ** 4, axis=1) - 3.0))
     skew = float(jnp.mean(jnp.mean(Wn ** 3, axis=1)))
 
+    from qpalette_tpu.ops.hadamard import get_had_factors
     art = {
         "meta": {
             "quantizer_str": quantizer_str,
@@ -213,6 +214,14 @@ def quantize_linear(W, quantizer_str: str, SU=None, H=None,
             "out_features": m,
             "rot_info": "skip_r",
             "rot_blocks": rot_blocks,
+            # rotation version stamp: the Kronecker factorization used for
+            # the incoherence rotation.  The runtime re-derives the same
+            # rotation from (n, rot_blocks); if get_had_factors ever
+            # changes its factor choice (as it did between rounds 2 and 3),
+            # old cached artifacts would silently decode against a
+            # mismatched activation rotation — loader._get_artifact checks
+            # this stamp and refuses stale caches.
+            "had_factors": list(get_had_factors(n // rot_blocks)),
             "err": rel_err,
             "orig_err": orig_err,
             "kurtosis": kurt,

@@ -24,16 +24,28 @@ def ce_loss(spec, params, tokens, chunk: int = 1024):
     The lm_head matmul + log-softmax run over sequence chunks so ctx-8192
     never materializes (B, S, vocab) f32 (4.2 GB for Llama-3 vocab)."""
     h = llama.forward(spec, params, tokens, return_hidden=True)  # (B,S,hid)
+    vocab = spec.config.vocab_size
     if "lm_head_q" in params:
+        # slice off the pad columns (loader pads vocab to a 2048 multiple
+        # with q=0/scale=1 rows) BEFORE the softmax — 768 exact-zero logits
+        # would otherwise enter the partition function (llama.forward
+        # slices, llama.py:443; this consumer must too)
         lm = (params["lm_head_q"].astype(jnp.float32)
-              * params["lm_head_s"].astype(jnp.float32)).T
+              * params["lm_head_s"].astype(jnp.float32)).T[:vocab]
+        # int8 lm_head is quantized in the rotated basis: rotate h to match
+        su = params["lm_head_su"]
+        rot = True
     else:
-        lm = params["lm_head"].astype(jnp.float32)
+        lm = params["lm_head"].astype(jnp.float32)[:vocab]
+        rot = False
     B, S = tokens.shape
     total = jnp.float32(0.0)
     for c0 in range(0, S - 1, chunk):
         c1 = min(c0 + chunk, S - 1)
-        logits = h[:, c0:c1].astype(jnp.float32) @ lm.T
+        hc = h[:, c0:c1]
+        if rot:
+            hc = llama._rotate_in(hc, su.astype(hc.dtype))
+        logits = hc.astype(jnp.float32) @ lm.T
         logp = jax.nn.log_softmax(logits, axis=-1)
         tgt = tokens[:, c0 + 1:c1 + 1]
         nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]

@@ -366,7 +366,31 @@ def _get_artifact(cfg, model_key, layer, key, qstr, save_dir, seed,
     qdir = qstr if rot_blocks == 1 else f"{qstr}__rb{rot_blocks}"
     path = artifact_path(save_dir, model_key, seed, qdir, layer, key)
     if os.path.exists(path):
-        return load_artifact(path)
+        art = load_artifact(path)
+        # rotation version check: the artifact was quantized against
+        # kron(get_had_factors(n)) — if the current factorization differs
+        # (the factor-order choice changed between rounds), decoding would
+        # silently use a mismatched activation rotation.  Requantize if we
+        # can, otherwise fail loudly.
+        from qpalette_tpu.ops.hadamard import get_had_factors
+        n_in = art["meta"]["in_features"] // rot_blocks
+        want = list(get_had_factors(n_in))
+        have = art["meta"].get("had_factors")
+        if have is None or list(have) == want:
+            if have is None and art["meta"].get("rot_info") == "skip_r":
+                import warnings
+                warnings.warn(
+                    f"{path}: artifact predates rotation version stamps; "
+                    f"assuming current factorization {want}")
+            return art
+        if dense_w is None:
+            raise RuntimeError(
+                f"{path}: cached artifact used Hadamard factors {have} "
+                f"but the current build rotates with {want}; re-quantize "
+                f"(no dense weights available to do it automatically)")
+        os.remove(path)
+    else:
+        art = None
     assert dense_w is not None, (
         f"artifact missing and no dense weights to quantize: {path}")
     su = su_for(cfg, layer, key, seed)
@@ -402,11 +426,24 @@ def build_quantized_model(cfg: LlamaConfig, qdict, merge_info=None,
     rng = np.random.default_rng(seed)
 
     def qstr_for(i, key):
+        """Resolve (quantizer_str, impl) for one projection.
+
+        qdict tuple values carry the solver's per-layer kernel choice
+        (reference simt semantics, measure_latency_merge_simt.py:60-105):
+        "0"/False = the session default impl; "1"/True = the alternate
+        kernel class (xla dequant+matmul when the default is a fused
+        pallas path, and vice versa); an explicit impl name
+        ("pallas"|"pallas_a8"|"xla") is used verbatim — that's what the
+        TPU latency solver emits with use_impl_choice."""
         if isinstance(qdict, str):
             return qdict, impl
         v = qdict[f"{i}_{key}"]
         if isinstance(v, (tuple, list)):
             qs, simt = v
+            if simt in ("pallas", "pallas_a8", "xla"):
+                return qs, simt
+            if simt in ("1", 1, True, "True"):
+                return qs, ("xla" if impl.startswith("pallas") else "pallas")
             return qs, impl
         return v, impl
 
@@ -423,12 +460,14 @@ def build_quantized_model(cfg: LlamaConfig, qdict, merge_info=None,
                 merge_attn = mm
         merge_ug = "merge_ug" in mi
 
-        if row_parallel_tp > 1:
-            assert merge_attn is None and not merge_ug, \
-                "row_parallel_tp requires unmerged projections"
+        # row_parallel_tp only block-rotates o/down (never merged); merged
+        # qkv/ug are column-parallel and shard via tile permutation
+        # (parallel/tp.shard_interleave_merged)
         arts = {}
+        impls = {}
         for key in LAYER_KEYS:
             qs, impl_k = qstr_for(i, key)
+            impls[key] = impl_k
             rb = row_parallel_tp if key in (
                 "self_attn.o_proj", "mlp.down_proj") else 1
             from qpalette_tpu.quant.hessian import HESSKEY
@@ -438,6 +477,14 @@ def build_quantized_model(cfg: LlamaConfig, qdict, merge_info=None,
                 dense_w=None if dense_params is None
                 else dense_params["layers"][i][key], dummy=dummy,
                 rot_blocks=rb, H=Hk)
+
+        def group_impl(*keys):
+            """Per-layer impl for a (possibly merged) projection group;
+            merged projections must agree on the kernel class."""
+            ims = {impls[k] for k in keys}
+            assert len(ims) == 1, \
+                f"merged projections need one impl, got {ims} for {keys}"
+            return ims.pop()
 
         q, k, v, o = (arts["self_attn.q_proj"], arts["self_attn.k_proj"],
                       arts["self_attn.v_proj"], arts["self_attn.o_proj"])
@@ -449,48 +496,60 @@ def build_quantized_model(cfg: LlamaConfig, qdict, merge_info=None,
               "su_ug": jnp.asarray(up["SU"], dtype),
               "su_dp": jnp.asarray(down["SU"], dtype)}
 
+        KQ, KK, KV_, KO = ("self_attn.q_proj", "self_attn.k_proj",
+                           "self_attn.v_proj", "self_attn.o_proj")
+        KU, KG, KD = "mlp.up_proj", "mlp.gate_proj", "mlp.down_proj"
         attn_projs = []
         if merge_attn == "qkv":
             m = merge_artifacts([q, k, v])
-            attn_projs.append(("qkv", _spec_from_meta(m["meta"], impl)))
-            lp["qkv"] = _params_from_artifact(m, dtype, impl)
+            im = group_impl(KQ, KK, KV_)
+            attn_projs.append(("qkv", _spec_from_meta(m["meta"], im)))
+            lp["qkv"] = _params_from_artifact(m, dtype, im)
         elif merge_attn == "qk":
             m = merge_artifacts([q, k])
-            attn_projs += [("qk", _spec_from_meta(m["meta"], impl)),
-                           ("v", _spec_from_meta(v["meta"], impl))]
-            lp["qk"] = _params_from_artifact(m, dtype, impl)
-            lp["v"] = _params_from_artifact(v, dtype, impl)
+            im = group_impl(KQ, KK)
+            attn_projs += [("qk", _spec_from_meta(m["meta"], im)),
+                           ("v", _spec_from_meta(v["meta"], impls[KV_]))]
+            lp["qk"] = _params_from_artifact(m, dtype, im)
+            lp["v"] = _params_from_artifact(v, dtype, impls[KV_])
         elif merge_attn == "kv":
             m = merge_artifacts([k, v])
-            attn_projs += [("q", _spec_from_meta(q["meta"], impl)),
-                           ("kv", _spec_from_meta(m["meta"], impl))]
-            lp["q"] = _params_from_artifact(q, dtype, impl)
-            lp["kv"] = _params_from_artifact(m, dtype, impl)
+            im = group_impl(KK, KV_)
+            attn_projs += [("q", _spec_from_meta(q["meta"], impls[KQ])),
+                           ("kv", _spec_from_meta(m["meta"], im))]
+            lp["q"] = _params_from_artifact(q, dtype, impls[KQ])
+            lp["kv"] = _params_from_artifact(m, dtype, im)
         elif merge_attn == "qv":
             m = merge_artifacts([q, v])
-            attn_projs += [("qv", _spec_from_meta(m["meta"], impl)),
-                           ("k", _spec_from_meta(k["meta"], impl))]
-            lp["qv"] = _params_from_artifact(m, dtype, impl)
-            lp["k"] = _params_from_artifact(k, dtype, impl)
+            im = group_impl(KQ, KV_)
+            attn_projs += [("qv", _spec_from_meta(m["meta"], im)),
+                           ("k", _spec_from_meta(k["meta"], impls[KK]))]
+            lp["qv"] = _params_from_artifact(m, dtype, im)
+            lp["k"] = _params_from_artifact(k, dtype, impls[KK])
         else:
-            for nm, a in (("q", q), ("k", k), ("v", v)):
-                attn_projs.append((nm, _spec_from_meta(a["meta"], impl)))
-                lp[nm] = _params_from_artifact(a, dtype, impl)
-        attn_projs.append(("o", _spec_from_meta(o["meta"], impl)))
-        lp["o"] = _params_from_artifact(o, dtype, impl)
+            for nm, a, kk in (("q", q, KQ), ("k", k, KK), ("v", v, KV_)):
+                attn_projs.append((nm, _spec_from_meta(a["meta"],
+                                                       impls[kk])))
+                lp[nm] = _params_from_artifact(a, dtype, impls[kk])
+        attn_projs.append(("o", _spec_from_meta(o["meta"], impls[KO])))
+        lp["o"] = _params_from_artifact(o, dtype, impls[KO])
 
         if merge_ug:
             m = merge_artifacts([up, gate])
-            mlp_projs = (("ug", _spec_from_meta(m["meta"], impl)),
-                         ("down", _spec_from_meta(down["meta"], impl)))
-            lp["ug"] = _params_from_artifact(m, dtype, impl)
+            im = group_impl(KU, KG)
+            mlp_projs = (("ug", _spec_from_meta(m["meta"], im)),
+                         ("down", _spec_from_meta(down["meta"],
+                                                  impls[KD])))
+            lp["ug"] = _params_from_artifact(m, dtype, im)
         else:
-            mlp_projs = (("up", _spec_from_meta(up["meta"], impl)),
-                         ("gate", _spec_from_meta(gate["meta"], impl)),
-                         ("down", _spec_from_meta(down["meta"], impl)))
-            lp["up"] = _params_from_artifact(up, dtype, impl)
-            lp["gate"] = _params_from_artifact(gate, dtype, impl)
-        lp["down"] = _params_from_artifact(down, dtype, impl)
+            mlp_projs = (("up", _spec_from_meta(up["meta"], impls[KU])),
+                         ("gate", _spec_from_meta(gate["meta"],
+                                                  impls[KG])),
+                         ("down", _spec_from_meta(down["meta"],
+                                                  impls[KD])))
+            lp["up"] = _params_from_artifact(up, dtype, impls[KU])
+            lp["gate"] = _params_from_artifact(gate, dtype, impls[KG])
+        lp["down"] = _params_from_artifact(down, dtype, impls[KD])
 
         for a in arts.values():
             if a["meta"]["kind"] in ("tcq", "tcomb", "comb"):

@@ -77,12 +77,41 @@ def dequant_weight(spec: LinearSpec, p: dict, luts: dict) -> jax.Array:
     raise ValueError(spec.kind)
 
 
+def can_fuse_rot(spec: LinearSpec, rows: int, rot_blocks: int = 1) -> bool:
+    """True if the fused-rotation activation prologue applies: arithmetic
+    trellis decode kernel (tcq1 any mode / tcq2 sum2 — dualmad's x-perm is
+    not a plain repeat), decode regime, and a ≤2-factor Hadamard for the
+    (per-block) rotation width."""
+    if spec.impl not in ("pallas", "pallas_a8") or rows > 8:
+        return False
+    if spec.kind == "tcq1":
+        pass
+    elif spec.kind == "tcq2" and spec.mode == "sum2":
+        pass
+    else:
+        return False
+    from qpalette_tpu.ops.hadamard import get_had_factors
+    return len(get_had_factors(spec.in_features // rot_blocks)) <= 2
+
+
 def qlinear_apply(spec: LinearSpec, p: dict, z: jax.Array,
-                  luts: Optional[dict] = None) -> jax.Array:
+                  luts: Optional[dict] = None,
+                  pre_rot=None) -> jax.Array:
     """z (rows, in_features) — already incoherence-rotated — -> (rows, out).
+
+    pre_rot=(su, rot_blocks): z is UN-rotated and the rotation is fused
+    into the kernel's activation prologue when can_fuse_rot holds;
+    otherwise it is applied here explicitly (same math either way).
 
     Applies the per-row Wscale epilogue (reference incoherent_linear.py:495).
     """
+    if pre_rot is not None and not can_fuse_rot(spec, z.shape[0],
+                                                pre_rot[1]):
+        from qpalette_tpu.ops.hadamard import hadamard_transform_t
+        su, blocks = pre_rot
+        z = hadamard_transform_t(z * su.astype(z.dtype),
+                                 blocks=blocks).astype(z.dtype)
+        pre_rot = None
     if spec.kind == "dense":
         w = p["w"]
         return jax.lax.dot_general(
@@ -100,7 +129,7 @@ def qlinear_apply(spec: LinearSpec, p: dict, z: jax.Array,
         # (prefill / big batch) dequantize and ride the MXU directly —
         # the reference's own bs<=8 / bs>8 split (tcq_linear.py:64-84).
         from qpalette_tpu.kernels import fused
-        y = fused.decode_matmul(spec, p, z, luts)
+        y = fused.decode_matmul(spec, p, z, luts, pre_rot=pre_rot)
     elif spec.impl in ("pallas", "pallas_a8"):
         from qpalette_tpu.kernels import fused
         w = fused.dequant_weight_kernelfmt(spec, p, luts).astype(z.dtype)

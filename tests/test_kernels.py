@@ -319,6 +319,43 @@ def test_tcq2_sum2_kernel_matches_reference(KV):
     assert np.abs(Wt.T - np.asarray(W)).max() < 0.02
 
 
+@pytest.mark.parametrize("kind,a8", [
+    ("sum2", False), ("sum2", True), ("tcq1", False),
+])
+def test_fused_rotation_prologue_matches_explicit(kind, a8):
+    """su= fused-rotation prologue (repeat folded into the Hadamard's
+    second factor, models/llama._rotate_in semantics) == explicit
+    rotate-then-decode.  a8 tolerance covers int8 round ties flipping
+    between the f32 (fused) and bf16-roundtrip (explicit) paths."""
+    from qpalette_tpu.ops.hadamard import hadamard_transform_t
+    m, k = 64, 256
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.standard_normal((1, k)), jnp.float32) \
+        .astype(jnp.bfloat16)
+    su = jnp.asarray((rng.standard_normal(k) > 0) * 2.0 - 1.0, jnp.float32)
+    z = hadamard_transform_t(x * su.astype(x.dtype)).astype(jnp.bfloat16)
+    if kind == "sum2":
+        KV = 6
+        words = rng.integers(0, 1 << 32, ((m // 16) * (k // 16), 4 * KV),
+                             dtype=np.uint32)
+        trpl = kf.tcq2_planar_weights(jnp.asarray(words), m, k, KV)
+        ref = fused.tcq2_decode_matmul(z, trpl, KV, m, k, a8=a8,
+                                       mode="sum2")
+        got = fused.tcq2_decode_matmul(x, trpl, KV, m, k, a8=a8,
+                                       mode="sum2", su=su)
+    else:
+        KV = 3
+        words = rng.integers(0, 1 << 32, ((m // 16) * (k // 16), 8 * KV),
+                             dtype=np.uint32)
+        trpl = kf.tcq1_planar_weights(jnp.asarray(words), m, k, KV)
+        ref = fused.tcq1_decode_matmul(z, trpl, KV, "1mad", m, k, a8=a8)
+        got = fused.tcq1_decode_matmul(x, trpl, KV, "1mad", m, k, a8=a8,
+                                       su=su)
+    rel = np.abs(np.asarray(got) - np.asarray(ref)).max() \
+        / (np.abs(np.asarray(ref)).max() + 1e-9)
+    assert rel < (0.02 if a8 else 1e-4), rel
+
+
 def test_tcq1_dense_layout_matches_reference():
     """Even-KV tcq1 planar layout is DENSE (formats.planar_dense): KV=4
     stores exactly 4 bits/weight and still decodes bit-exactly."""

@@ -239,6 +239,52 @@ def test_int8_lm_head_close_to_bf16(dense_setup, tmp_path):
     assert rel2 < 0.02, rel2
 
 
+def test_ce_loss_matches_forward_with_int8_lm_head(dense_setup, tmp_path):
+    """ce_loss must slice off the padded-vocab columns AND rotate the
+    hidden states into the int8 lm_head's incoherence basis — i.e. agree
+    with the CE computed from forward()'s own logits (which do both)."""
+    dp, _, _ = dense_setup
+    spec, params = build_quantized_model(
+        CFG, "ldlq_1_8_none_1.0", model_key="tiny_lm8",
+        save_dir=str(tmp_path), dense_params=dp, lm_head_bits=8)
+    toks = jnp.asarray(np.arange(16)[None, :] % CFG.vocab_size, jnp.int32)
+    logits = np.asarray(forward(spec, params, toks), np.float32)
+    logp = jax.nn.log_softmax(jnp.asarray(logits[:, :-1]), axis=-1)
+    tgt = np.asarray(toks)[:, 1:]
+    ref = float(-jnp.mean(jnp.take_along_axis(
+        logp, jnp.asarray(tgt)[..., None], axis=-1)))
+    got = float(ce_loss(spec, params, toks))
+    assert abs(got - ref) < 1e-3, (got, ref)
+
+
+def test_per_layer_impl_flag_honored(tmp_path):
+    """qdict (qstr, impl) tuples must produce per-projection LinearSpecs
+    with that impl (the solver's kernel-choice dimension, reference simt
+    semantics — measure_latency_merge_simt.py:60-105)."""
+    from qpalette_tpu.runtime.loader import LAYER_KEYS
+    qd = {}
+    for i in range(CFG.num_layers):
+        for key in LAYER_KEYS:
+            if key == "mlp.down_proj":
+                qd[f"{i}_{key}"] = ("tcq1_3_none_0.9", "xla")
+            elif key == "self_attn.o_proj":
+                qd[f"{i}_{key}"] = ("tcq1_3_none_0.9", "1")  # alternate
+            else:
+                qd[f"{i}_{key}"] = ("tcq1_3_none_0.9", "0")  # default
+    spec, params = build_quantized_model(
+        CFG, qd, model_key="tiny_simt", save_dir=str(tmp_path),
+        dummy=True, impl="pallas")
+    aspec, mspec = spec.layers[0]
+    projs = dict(aspec.projs)
+    mprojs = dict(mspec.projs)
+    assert projs["q"].impl == "pallas"          # "0" -> session default
+    assert projs["o"].impl == "xla"             # "1" -> alternate class
+    assert mprojs["down"].impl == "xla"         # explicit name verbatim
+    assert mprojs["up"].impl == "pallas"
+    toks = jnp.asarray(np.arange(8)[None, :] % CFG.vocab_size, jnp.int32)
+    assert np.isfinite(np.asarray(forward(spec, params, toks))).all()
+
+
 def test_hess_quantizers_through_loader(dense_setup, tmp_path):
     """`_hess_` quantizers receive calibration Hessians via
     build_quantized_model(hess=...) (eval_qdict --hess_path plumb)."""

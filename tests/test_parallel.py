@@ -107,6 +107,37 @@ def test_tp_shardmap_matches_single_device(tmp_path, qstr, impl):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_tp_shardmap_merged_tcq2s_bench_mix(tmp_path):
+    """The FLAGSHIP bench config under tensor parallelism: merged qkv/ug
+    (column-parallel via shard-interleaved m-tiles) + tcq2s everywhere
+    with row-parallel o/down (k-tile split of the dense planar layout)."""
+    from qpalette_tpu.parallel import tp as tpmod
+    from qpalette_tpu.runtime.loader import LAYER_KEYS
+
+    TPN = 4
+    qd = {}
+    for i in range(CFG.num_layers):
+        for key in LAYER_KEYS:
+            qd[f"{i}_{key}"] = ("tcq2s_8_none_0.9"
+                                if key == "mlp.down_proj"
+                                else "tcq2s_6_none_0.9")
+    mi = [["merge_qkv", "merge_ug"]] * CFG.num_layers
+    spec, params = build_quantized_model(
+        CFG, qd, merge_info=mi, model_key="tiny_tp_sum2",
+        save_dir=str(tmp_path), dummy=True, impl="pallas",
+        row_parallel_tp=TPN)
+    toks = jnp.asarray(np.arange(16).reshape(2, 8) % CFG.vocab_size,
+                       jnp.int32)
+    ref = np.asarray(forward(spec, params, toks))
+
+    mesh = make_mesh(TPN, tp=TPN)
+    sparams = tpmod.shard_tp_params(params, spec, mesh)
+    fwd = tpmod.tp_forward_fn(spec, mesh, params)
+    out = np.asarray(fwd(sparams, toks))
+    assert np.allclose(out, ref, atol=2e-2), np.abs(out - ref).max()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_tp_shardmap_decode_cache(tmp_path):
     from qpalette_tpu.parallel import tp as tpmod
     from qpalette_tpu.models.llama import init_kv_caches
