@@ -43,11 +43,20 @@ def quantizer_proxy_err(qstr: str, size: int = 4096, seed: int = 0) -> float:
     rng = np.random.default_rng(seed)
     Wr = jnp.asarray(rng.standard_normal((size, size)).astype(np.float32))
     s = spec.scale_override
+    # Scaling conventions: the LUT families keep the `s / cbr` transform —
+    # it reproduces the reference's published assets/quant_err.pt values
+    # EXACTLY (tcq_6 0.01891, test_proxy_err_matches_reference_published).
+    # The TPU-native arithmetic families use the quantize-side convention
+    # (incoherent.quantize_linear: input RMS = cb_rms * scale_override =
+    # s * cbr for unit-RMS Wr).  For RMS-1 codebooks (1mad/2mad/dualmad)
+    # the two agree to <0.1%; for sum2 (2-byte sums, RMS 1/sqrt2) the old
+    # transform overdrove the signal 2x vs the deployed scaling and
+    # inflated tcq2s proxy errs ~5x (round-4 fix).
     if spec.family == "tcq":
         from qpalette_tpu.ops.codebooks import (trellis_lut, lut_rms,
                                                 tlut_bits_for_kv)
         cbr = lut_rms(trellis_lut(tlut_bits_for_kv(spec.KV[0])))
-        _, hat = quantizers.quantize_mat_tcq(Wr * (s / cbr) / 1.0, None,
+        _, hat = quantizers.quantize_mat_tcq(Wr * (s / cbr), None,
                                              spec.KV[0])
         hat = hat * (cbr / s)
     elif spec.family == "tcomb":
@@ -61,16 +70,16 @@ def quantizer_proxy_err(qstr: str, size: int = 4096, seed: int = 0) -> float:
         from qpalette_tpu.ops.codebooks import trellis_lut_arith, lut_rms
         mode = "1mad" if spec.family == "tcq1" else "2mad"
         cbr = lut_rms(trellis_lut_arith(mode))
-        _, hat = quantizers.quantize_mat_tcq1(Wr * (s / cbr), None,
+        _, hat = quantizers.quantize_mat_tcq1(Wr * (s * cbr), None,
                                               spec.KV[0], mode=mode)
-        hat = hat * (cbr / s)
+        hat = hat / (s * cbr)
     elif spec.family in ("tcq2", "tcq2s"):
         from qpalette_tpu.ops.codebooks import trellis_lut_arith, lut_rms
         mode = "sum2" if spec.family == "tcq2s" else "dualmad"
         cbr = lut_rms(trellis_lut_arith(mode))
-        _, hat = quantizers.quantize_mat_tcq2(Wr * (s / cbr), None,
+        _, hat = quantizers.quantize_mat_tcq2(Wr * (s * cbr), None,
                                               spec.KV[0], mode=mode)
-        hat = hat * (cbr / s)
+        hat = hat / (s * cbr)
     elif spec.family == "ldlq":
         _, hat = quantizers.quantize_mat_vq(Wr * s, None, spec.bits,
                                             spec.vec)

@@ -148,6 +148,72 @@ def collect_hessians(spec, params, token_batches: List[np.ndarray]):
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _energy_step(spec, params, tokens, acc):
+    """Accumulate Σ z² (scalar) per (layer, group) input — the tr(H)/n
+    diagonal summary err_coeffs need, WITHOUT materializing the (n, n)
+    Hessians (a 14336² f32 per layer ×32 would not fit host RAM for the
+    8B synthetic-calibration run)."""
+    cfg = spec.config
+    B, S = tokens.shape
+    x = jnp.take(params["embed"], tokens, axis=0).astype(cfg.dtype)
+    pos = jnp.arange(S)[None, :]
+    cos, sin = llama.rope_tables(pos, cfg.head_dim, cfg.rope_theta)
+    new_acc = []
+    for li, (aspec, mspec) in enumerate(spec.layers):
+        lp = params["layers"][li]
+        h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
+        a, _ = llama.attn_forward(aspec, cfg, lp, h, cos, sin, offset=0,
+                                  luts=params.get("luts", {}))
+        x = x + a
+        h2 = rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
+        o_in, dp_in = _inner_inputs(aspec, mspec, cfg, lp, h, h2, cos, sin)
+        aq, ao, au, ad = acc[li]
+        new_acc.append((
+            aq + jnp.mean(h.astype(jnp.float32) ** 2),
+            ao + jnp.mean(o_in ** 2),
+            au + jnp.mean(h2.astype(jnp.float32) ** 2),
+            ad + jnp.mean(dp_in ** 2),
+        ))
+        x = x + llama.mlp_forward(mspec, cfg, lp, h2,
+                                  luts=params.get("luts", {}))
+    return new_acc
+
+
+def collect_group_energy(spec, params,
+                         token_batches: List[np.ndarray]) -> Dict[str, float]:
+    """Mean input energy (= tr(H)/n) per {layer}_{qkv|o|up|down} group."""
+    nl = spec.config.num_layers
+    acc = [(jnp.float32(0),) * 4 for _ in range(nl)]
+    for batch in token_batches:
+        acc = _energy_step(spec, params, jnp.asarray(batch, jnp.int32), acc)
+    nb = len(token_batches)
+    out = {}
+    for li, (aq, ao, au, ad) in enumerate(acc):
+        out[f"{li}_qkv"] = float(aq) / nb
+        out[f"{li}_o"] = float(ao) / nb
+        out[f"{li}_up"] = float(au) / nb
+        out[f"{li}_down"] = float(ad) / nb
+    return out
+
+
+def err_coeffs_from_energy(energy: Dict[str, float], dense_params: dict,
+                           num_layers: int) -> Dict[str, float]:
+    """Sensitivity coeff per linear from group input energies + weight
+    energies: same formula as err_coeffs_from_hessians (tr(H)/n ·
+    mean(W²)), computable from the diagonal summary alone."""
+    from qpalette_tpu.msq.memmodel import LAYER_KEYS
+    coeffs = {}
+    for i in range(num_layers):
+        for key in LAYER_KEYS:
+            W = np.asarray(dense_params["layers"][i][key])
+            coeffs[f"{i}_{key}"] = float(
+                energy[f"{i}_{HESSKEY[key]}"]
+                * np.mean(W.astype(np.float64) ** 2))
+    mean = np.mean(list(coeffs.values()))
+    return {k: v / mean for k, v in coeffs.items()}
+
+
 def err_coeffs_from_hessians(hessians: Dict[str, np.ndarray],
                              dense_params: dict,
                              num_layers: int) -> Dict[str, float]:

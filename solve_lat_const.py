@@ -52,7 +52,8 @@ def main():
     err_coeffs = None
     coeff_path = f"assets/{model_key}_err_coeffs.json"
     if os.path.exists(coeff_path):
-        err_coeffs = json.load(open(coeff_path))
+        err_coeffs = {k: v for k, v in json.load(open(coeff_path)).items()
+                      if not k.startswith("__")}
 
     sol = solve_lat_constrained(
         cfg, qlist, errs, lat_coeffs, args.target_thp,

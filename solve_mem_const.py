@@ -23,6 +23,10 @@ def main():
     ap.add_argument("--target_bitwidth", type=float, default=3.25)
     ap.add_argument("--err_size", type=int, default=4096,
                     help="proxy-error matrix size (4096 = reference)")
+    ap.add_argument("--err_coeffs", default="auto",
+                    help="per-layer sensitivity JSON "
+                    "(assets/{model}_err_coeffs.json schema; 'auto' = that "
+                    "path if present, 'none' = uniform sensitivity)")
     args = ap.parse_args()
 
     from qpalette_tpu.runtime.loader import MODEL_KEYS, CONFIGS
@@ -38,9 +42,11 @@ def main():
     errs = build_err_table(qlist, size=args.err_size)
 
     err_coeffs = None
-    coeff_path = f"assets/{model_key}_err_coeffs.json"
-    if os.path.exists(coeff_path):
-        err_coeffs = json.load(open(coeff_path))
+    coeff_path = (f"assets/{model_key}_err_coeffs.json"
+                  if args.err_coeffs == "auto" else args.err_coeffs)
+    if args.err_coeffs != "none" and os.path.exists(coeff_path):
+        err_coeffs = {k: v for k, v in json.load(open(coeff_path)).items()
+                      if not k.startswith("__")}
         print(f"loaded per-layer sensitivity from {coeff_path}")
 
     qdict = solve_mem_constrained(cfg, qlist, errs, args.target_bitwidth,

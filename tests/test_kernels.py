@@ -75,6 +75,7 @@ def test_tcq_fused_matches_reference(KV, m, k, N):
     assert rel < 0.03, rel
 
 
+@pytest.mark.slow  # 61 s
 def test_tcomb_fused_via_quantizer():
     """End-to-end: quantize -> kernel-format -> fused matmul == hatW @ x."""
     rng = np.random.default_rng(0)
@@ -97,6 +98,7 @@ def test_tcomb_fused_via_quantizer():
     assert rel < 0.03, rel
 
 
+@pytest.mark.slow  # 34 s
 def test_tcomb_one_kernel_matches_two_call():
     """Fused single-kernel tcomb == two-half reference decode."""
     KV1, KV2, S = 4, 5, 9
@@ -192,6 +194,7 @@ def test_tcq2_dequant_matches_spec():
     assert np.allclose(Wt, W.T, atol=2e-2), np.abs(Wt - W.T).max()
 
 
+@pytest.mark.slow  # 86 s interpret-mode sweep
 def test_tcq_dequant_matches_spec():
     KV, S, m, k = 4, 9, 64, 128
     rng = np.random.default_rng(5)

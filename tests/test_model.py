@@ -45,8 +45,9 @@ def test_quantized_close_to_dense_at_high_bits(dense_setup, tmp_path):
 
 
 @pytest.mark.parametrize("qstr,merge", [
-    ("tcq_4_none_0.9", None),
-    ("tcomb_4_5_0.5_none_0.9", ["merge_qkv", "merge_ug"]),
+    pytest.param("tcq_4_none_0.9", None, marks=pytest.mark.slow),
+    pytest.param("tcomb_4_5_0.5_none_0.9", ["merge_qkv", "merge_ug"],
+                 marks=pytest.mark.slow),
     ("ldlq_2_4_none_1.0", ["merge_kv"]),
 ])
 def test_quantized_forward_and_merges(dense_setup, tmp_path, qstr, merge):
@@ -67,9 +68,9 @@ def test_quantized_forward_and_merges(dense_setup, tmp_path, qstr, merge):
 
 
 @pytest.mark.parametrize("qstr", [
-    "tcq_4_none_0.9",
+    pytest.param("tcq_4_none_0.9", marks=pytest.mark.slow),
     "tcq1_3_none_0.9",   # the benchmarked scheme — real-artifact merge
-    "tcq2_6_none_0.9",
+    pytest.param("tcq2_6_none_0.9", marks=pytest.mark.slow),
 ])
 def test_merged_equals_unmerged(dense_setup, tmp_path, qstr):
     """Fused QKV/UG projections must produce identical math to unfused,

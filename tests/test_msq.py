@@ -22,6 +22,44 @@ def _fake_err_table(qlist):
     return out
 
 
+def test_err_coeffs_pipeline_feeds_solver():
+    """Synthetic-calibration sensitivity pipeline end-to-end on a tiny
+    model: group-energy pass -> err_coeffs (tr(H)/n · mean W², the
+    documented formula) -> solve_mem_constrained consumes them and the
+    solution SHIFTS relative to uniform sensitivity.  Locks the
+    assets/{model}_err_coeffs.json schema (reference
+    assets/3_8b_err_coeffs.pt, consumed solve_mem_const.py:137-139)."""
+    import jax.numpy as jnp
+    from qpalette_tpu.runtime.loader import (build_dense_model,
+                                             random_dense_params)
+    from qpalette_tpu.quant.hessian import (collect_group_energy,
+                                            err_coeffs_from_energy)
+    cfg = LlamaConfig.tiny()
+    dp = random_dense_params(cfg, seed=3)
+    # break the layer symmetry so sensitivity actually varies
+    for i, lp in enumerate(dp["layers"]):
+        lp["mlp.down_proj"] = lp["mlp.down_proj"] * (1.0 + 2.0 * i)
+    spec, params = build_dense_model(cfg, dp)
+    rng = np.random.default_rng(0)
+    batches = [rng.integers(0, cfg.vocab_size, (1, 32)).astype(np.int32)]
+    energy = collect_group_energy(spec, params, batches)
+    assert len(energy) == cfg.num_layers * 4
+    coeffs = err_coeffs_from_energy(energy, dp, cfg.num_layers)
+    assert len(coeffs) == cfg.num_layers * 7
+    assert abs(np.mean(list(coeffs.values())) - 1.0) < 1e-6
+    # down_proj of the boosted layer must be more sensitive
+    assert coeffs[f"{cfg.num_layers - 1}_mlp.down_proj"] > \
+        coeffs["0_mlp.down_proj"]
+
+    qlist = list(QDICT_MEM)
+    errs = _fake_err_table(qlist)
+    qd_u = solve_mem_constrained(cfg, qlist, errs, target_bits=3.0)
+    qd_c = solve_mem_constrained(cfg, qlist, errs, target_bits=3.0,
+                                 err_coeffs=coeffs)
+    assert calc_avg_bits(cfg, qd_c) <= 3.0 + 1e-6
+    assert qd_c != qd_u  # sensitivity moved bits between layers
+
+
 def test_mem_model_matches_reference_values():
     # tcq_6 on q_proj (4096x4096): 3 bits/weight + tlut
     m = layer_mem_bytes(CFG, "self_attn.q_proj", "tcq_6_none_0.9")
@@ -63,6 +101,7 @@ def _fake_lat_coeffs(qlist):
     return coeffs
 
 
+@pytest.mark.slow  # 100 s: exact MILP cross-check
 def test_solve_lat_constrained_fusion_aware():
     qlist = list(QDICT_LAT)
     errs = _fake_err_table(qlist)

@@ -49,6 +49,7 @@ def test_param_shardings_cover_all_leaves(tmp_path):
     assert all(ss[0] == q.shape[0] // 2 for ss in shard_shapes)
 
 
+@pytest.mark.slow  # 175 s; duplicates the driver's own dryrun gate
 def test_dryrun_entry():
     import __graft_entry__ as ge
     n = min(8, len(jax.devices()))
@@ -69,7 +70,7 @@ def test_graft_entry_compiles():
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 @pytest.mark.parametrize("qstr,impl", [
-    ("tcq1_3_none_0.9", "pallas"),
+    pytest.param("tcq1_3_none_0.9", "pallas", marks=pytest.mark.slow),
     ("mixed", "pallas"),  # VQ col-parallel + tcq1 row-parallel
 ])
 def test_tp_shardmap_matches_single_device(tmp_path, qstr, impl):
@@ -107,6 +108,7 @@ def test_tp_shardmap_matches_single_device(tmp_path, qstr, impl):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow  # 319 s interpret-mode
 def test_tp_shardmap_merged_tcq2s_bench_mix(tmp_path):
     """The FLAGSHIP bench config under tensor parallelism: merged qkv/ug
     (column-parallel via shard-interleaved m-tiles) + tcq2s everywhere
@@ -138,6 +140,7 @@ def test_tp_shardmap_merged_tcq2s_bench_mix(tmp_path):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow  # 101 s
 def test_tp_shardmap_decode_cache(tmp_path):
     from qpalette_tpu.parallel import tp as tpmod
     from qpalette_tpu.models.llama import init_kv_caches

@@ -373,21 +373,38 @@ def test_beam_refinement_improves_weighted_objective():
 
 
 def test_tcq2s_sum2_end_to_end():
-    """tcq2s (sum2 decode): exact pack round-trip against the spec decoder
-    and sane 3-bit distortion (proxy 0.0219 @ 512^2 — the latency-optimal
-    palette point, scripts/proto_sum2_quality.py)."""
-    from qpalette_tpu.ops.codebooks import trellis_lut_arith
+    """tcq2s (sum2 decode): exact pack round-trip against the spec
+    decoder, DEPLOYED-scaling distortion (input RMS = cb_rms·s, exactly
+    what incoherent.quantize_linear feeds the quantizer: 0.0196 @ 3 bits
+    on this 32×64 seed — competitive with tcq_6's 0.0189), and the
+    hess-weighted variant must beat the unweighted one on the Hessian
+    metric (round-4: replaces the former mse<0.07 assert that silently
+    covered a 2× codebook/signal scale mismatch)."""
+    from qpalette_tpu.ops.codebooks import trellis_lut_arith, lut_rms
     rng = np.random.default_rng(11)
     m, n = 32, 64
     Wr = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
-    linear, hatW = quantizers.quantize_mat_tcq2(Wr, None, KV=6, mode="sum2")
+    cbr = lut_rms(trellis_lut_arith("sum2"))
+    sc = 0.9 * cbr
+    linear, hatW = quantizers.quantize_mat_tcq2(Wr * sc, None, KV=6,
+                                                mode="sum2")
     assert linear["kind"] == "tcq2" and linear["decode_mode"] == "sum2"
     lut = jnp.asarray(trellis_lut_arith("sum2"))
     dec = packing.dequant_tcq2(jnp.asarray(linear["trellis"]), lut, m, n, 6)
     assert np.allclose(np.asarray(dec), np.asarray(hatW), atol=1e-5)
-    mse = float(jnp.mean((hatW - Wr) ** 2))
-    assert mse < 0.07, mse
+    mse = float(jnp.mean((hatW / sc - Wr) ** 2))
+    assert mse < 0.022, mse  # 0.0196 measured; margin for jax updates
+
+    # hess-weighted tcq2s: tr(E H Eᵀ) must improve on the unweighted quant
+    X = rng.standard_normal((4 * n, n)).astype(np.float32)
+    H = jnp.asarray(X.T @ X / (4 * n) + 0.1 * np.eye(n, dtype=np.float32))
+    _, hat_h = quantizers.quantize_mat_tcq2(Wr * sc, H, KV=6, mode="sum2",
+                                            use_hess=True)
+    E_h = np.asarray(hat_h / sc - Wr)
+    E_u = np.asarray(hatW / sc - Wr)
+    Hn = np.asarray(H)
+    assert np.trace(E_h @ Hn @ E_h.T) < np.trace(E_u @ Hn @ E_u.T)
 
     art = quantize_linear(np.asarray(Wr) * 0.02, "tcq2s_6_none_0.9", seed=0)
     assert art["meta"]["decode_mode"] == "sum2"
-    assert art["meta"]["err"] < 0.2, art["meta"]["err"]
+    assert art["meta"]["err"] < 0.03, art["meta"]["err"]
