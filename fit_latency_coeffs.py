@@ -111,14 +111,25 @@ def main():
                 np.asarray(jax.device_get(r))
                 best = min(best, time.perf_counter() - t0)
             ts[reps] = best
-        return (ts[4 * REPS] - ts[REPS]) / (3 * REPS)
+        dt = (ts[4 * REPS] - ts[REPS]) / (3 * REPS)
+        if dt <= 1e-7:
+            # host jitter can make the slope non-positive for the fastest
+            # kernels; a negative coefficient would make the solver pick
+            # that scheme unboundedly — retry once, then fail the sample
+            dt2 = (ts[4 * REPS] / (4 * REPS))  # upper bound incl. dispatch
+            raise RuntimeError(f"non-positive slope ({dt * 1e6:.1f} us, "
+                               f"upper bound {dt2 * 1e6:.1f} us) — rerun")
+        return dt
 
     def measure(g, q, impl):
         m, n = group_shape(g)
         art = dummy_artifact(q, (m, n), seed=0)
         spec = _spec_from_meta(art["meta"], impl)
         params = _params_from_artifact(art, jnp.bfloat16, impl)
-        return time_apply(spec, params, n)
+        try:
+            return time_apply(spec, params, n)
+        except RuntimeError:
+            return time_apply(spec, params, n)  # one retry on jitter
 
     pairs = ([(g, q) for g in groups for q in qlist] if args.full else
              [(g, q) for g in SAMPLE_GROUPS for q in SAMPLE_QS])
