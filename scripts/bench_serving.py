@@ -15,7 +15,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--layers", type=int, default=8)
+    ap.add_argument("--layers", type=int, default=32)
     ap.add_argument("--slots", type=int, default=4)
     ap.add_argument("--prompt_len", type=int, default=128)
     ap.add_argument("--new_tokens", type=int, default=64)
@@ -34,10 +34,18 @@ def main():
     from qpalette_tpu.runtime.serving import ContinuousBatcher
 
     cfg = LlamaConfig.llama31_8b()
+    # the bench-mix scheme family (tcq2s sum2 decode, merged projections)
+    from qpalette_tpu.runtime.loader import LAYER_KEYS
+    qd = {}
+    for i in range(args.layers):
+        for key in LAYER_KEYS:
+            qd[f"{i}_{key}"] = ("tcq2s_8_none_0.9"
+                                if key == "mlp.down_proj"
+                                else "tcq2s_6_none_0.9")
     spec, params = build_quantized_model(
-        cfg, "tcq1_3_none_0.9", model_key="serve_8b",
-        save_dir="/tmp/qpt_bench", dummy=True, impl="pallas_a8",
-        num_layers=args.layers, lm_head_bits=8)
+        cfg, qd, merge_info=[["merge_qkv", "merge_ug"]] * args.layers,
+        model_key="serve_8b", save_dir="/tmp/qpt_bench", dummy=True,
+        impl="pallas_a8", num_layers=args.layers, lm_head_bits=8)
 
     rng = np.random.default_rng(0)
     b = ContinuousBatcher(spec, params, n_slots=args.slots,
