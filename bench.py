@@ -72,9 +72,14 @@ def main():
     # headline config uses fused QKV / gate-up (reference README.md:89-101)
     merge = os.environ.get("QPT_BENCH_MERGE", "1") == "1"
 
-    # int8 per-row lm_head (framework feature; reference keeps fp16 —
-    # QPT_BENCH_LM8=0 restores bf16 for apples-to-apples)
-    lm_bits = 8 if os.environ.get("QPT_BENCH_LM8", "1") == "1" else 16
+    # quantized lm_head (framework feature; reference keeps fp16):
+    # QPT_BENCH_LMBITS in {16, 8, 4} — 8 = rotated per-row int8 GEMV,
+    # 4 = rotated tcq2s_8 trellis (halves the largest per-token stream
+    # again); QPT_BENCH_LM8=0 restores bf16 for apples-to-apples
+    if os.environ.get("QPT_BENCH_LM8") == "0":
+        lm_bits = 16
+    else:
+        lm_bits = int(os.environ.get("QPT_BENCH_LMBITS", "4"))
 
     def run(nl):
         mi = [["merge_qkv", "merge_ug"]] * nl if merge else None
@@ -143,14 +148,15 @@ def main():
         # per-token time scales with quantized layer count
         toks = 1.0 / ((1.0 / toks) * full_layers / n_run)
 
+    lm_label = {16: "bf16", 8: "int8", 4: "4-bit tcq2s"}[lm_bits]
     if scheme == "solved":
         from qpalette_tpu.msq.memmodel import calc_avg_bits
         bits = calc_avg_bits(cfg, {k: (v[0] if isinstance(v, tuple) else v)
                                    for k, v in solved_qd.items()})
         bits_label = (f"{bits:.2f}-bit lat-constrained MSQ "
-                      f"(solver output {solved_tag})")
+                      f"(solver output {solved_tag}, {lm_label} lm_head)")
     elif scheme in ("tcq1mix", "tcq2mix", "sum2mix"):
-        bits_label = "3.27-bit arith-TCQ MSQ"
+        bits_label = f"3.27-bit arith-TCQ MSQ ({lm_label} lm_head)"
     else:
         bits_label = "3.25-bit"
     metric = (f"decode tokens/s/chip bs=1 Llama-3.1-8B {bits_label}"

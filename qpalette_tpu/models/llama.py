@@ -107,6 +107,10 @@ class ModelSpec:
     # set on the per-device local spec inside a shard_map tensor-parallel
     # forward: name of the mesh axis to psum row-parallel (o/down) outputs
     tp_axis: Optional[str] = None
+    # non-None: the lm_head is a quantized linear (e.g. 4-bit tcq2s) —
+    # params carry "lm_head_q4" + "lm_head_su"; forward routes through
+    # qlinear_apply with the rotation fused into the decode kernel
+    lm_head_spec: Optional[object] = None
 
 
 # ---------------------------------------------------------------------------
@@ -436,7 +440,17 @@ def forward(spec: ModelSpec, params: Params, tokens: jax.Array,
     x = rms_norm(x, params["ln_f"], cfg.rms_eps)
     if return_hidden:
         return (x, new_caches) if kv_caches is not None else x
-    if "lm_head_q" in params:
+    if spec.lm_head_spec is not None:
+        # quantized-trellis lm_head (4-bit tcq2s): same qlinear path as
+        # the decoder projections, incoherence rotation fused into the
+        # decode kernel's activation prologue; vocab padded to 2^17 for
+        # wide m-blocks, sliced back here
+        xf = x.reshape(-1, cfg.hidden_size)
+        logits = qlinear_apply(spec.lm_head_spec, params["lm_head_q4"], xf,
+                               luts, pre_rot=(params["lm_head_su"], 1))
+        logits = logits.astype(jnp.float32)[:, :cfg.vocab_size]
+        logits = logits.reshape(B, S, cfg.vocab_size)
+    elif "lm_head_q" in params:
         # int8 per-row-quantized lm_head (TPU traffic optimization; the
         # reference keeps lm_head fp16).  When packed with an incoherence
         # rotation (loader stores lm_head_su) the activation is rotated to

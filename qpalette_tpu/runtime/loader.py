@@ -596,7 +596,41 @@ def build_quantized_model(cfg: LlamaConfig, qdict, merge_info=None,
                                  (cfg.vocab_size, cfg.hidden_size)) * scale,
                                  dtype))
         params["ln_f"] = jnp.ones((cfg.hidden_size,), dtype)
-    if lm_head_bits == 8:
+    lm_spec = None
+    if lm_head_bits == 4:
+        # 4-bit trellis (tcq2s_8) lm_head: the single largest per-token
+        # HBM stream (525 MB int8) halves again to ~268 MB.  Vocab pads
+        # to 2^17 so the fused decode kernel gets wide power-of-2
+        # m-blocks; quantized with the same left-only incoherence
+        # rotation as the decoder layers (proxy err 0.0071/weight,
+        # assets/quant_err.json tcq2s_8).  The reference keeps lm_head
+        # fp16 — this is a TPU traffic optimization, surfaced in the
+        # bench label.
+        h = cfg.hidden_size
+        # next 4096-multiple (m/16 divisible by 256): 128256 -> 131072
+        VP = -(-cfg.vocab_size // 4096) * 4096
+        su = np.asarray((np.random.default_rng(seed * 7 + 99)
+                         .standard_normal(h) > 0) * 2.0 - 1.0, np.float32)
+        qstr_lm = "tcq2s_8_none_0.9"
+        if dense_params is None:
+            art = dummy_artifact(qstr_lm, (VP, h), seed=seed * 11 + 5)
+            art["SU"] = su
+        else:
+            w = np.asarray(params.pop("lm_head"), np.float32)
+            w = np.pad(w, ((0, VP - w.shape[0]), (0, 0)))
+            path = artifact_path(save_dir, model_key, seed, qstr_lm,
+                                 999, "lm_head")
+            if os.path.exists(path):
+                art = load_artifact(path)
+            else:
+                art = quantize_linear(w, qstr_lm, SU=su, seed=seed)
+                save_artifact(art, path)
+        params.pop("lm_head", None)
+        lm_spec = _spec_from_meta(art["meta"], "pallas_a8")
+        params["lm_head_q4"] = _params_from_artifact(art, dtype,
+                                                     "pallas_a8")
+        params["lm_head_su"] = jnp.asarray(su, jnp.float32)
+    elif lm_head_bits == 8:
         # ROTATED per-row symmetric int8 lm_head, stored transposed
         # (k, vocab) for the decode GEMV kernel (fused.int8_gemv_a8).
         # The incoherence rotation (same left-only SU+Hadamard as the
@@ -625,6 +659,9 @@ def build_quantized_model(cfg: LlamaConfig, qdict, merge_info=None,
         params["lm_head_q"] = q
         params["lm_head_s"] = sT
         params["lm_head_su"] = su
+    if lm_spec is not None:
+        spec = ModelSpec(spec.config, spec.layers, spec.tp_axis,
+                         lm_head_spec=lm_spec)
     return spec, params
 
 

@@ -124,10 +124,15 @@ def qlinear_apply(spec: LinearSpec, p: dict, z: jax.Array,
             z, p["w"], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         return (y * p["wscale"][None, :].astype(jnp.float32)).astype(z.dtype)
-    if spec.impl in ("pallas", "pallas_a8") and z.shape[0] <= 8:
-        # fused decode+matmul for the decode regime; larger row counts
-        # (prefill / big batch) dequantize and ride the MXU directly —
-        # the reference's own bs<=8 / bs>8 split (tcq_linear.py:64-84).
+    # fused decode+matmul cutoff: the reference splits at bs<=8
+    # (tcq_linear.py:64-84) because its SIMT GEMV is row-serial; the TPU
+    # arithmetic-trellis kernels feed an MXU dot whose M dimension is the
+    # row count, so streaming packed weights stays cheaper than
+    # dequantize-to-HBM (~5x the packed bytes in bf16 writes+rereads) up
+    # to ~64 rows — which covers chunked-prefill admission in the serving
+    # engine (64-token chunks were 100x slower via the dequant path).
+    fused_rows = 64 if spec.kind in ("tcq1", "tcq2") else 8
+    if spec.impl in ("pallas", "pallas_a8") and z.shape[0] <= fused_rows:
         from qpalette_tpu.kernels import fused
         y = fused.decode_matmul(spec, p, z, luts, pre_rot=pre_rot)
     elif spec.impl in ("pallas", "pallas_a8"):

@@ -33,6 +33,31 @@ def _pool_step(spec, params, tokens, caches, positions, active, key,
     return nxt[:, None], caches
 
 
+@functools.partial(jax.jit, static_argnames=("spec", "n", "temperature",
+                                             "top_k"))
+def _pool_burst(spec, params, tokens, caches, positions, active, key,
+                n: int, temperature: float = 0.6,
+                top_k: Optional[int] = 5):
+    """n decode steps across the pool in ONE dispatch (lax.scan).
+
+    Multi-step scheduling: admission/completion checks happen between
+    bursts, so per-token host/dispatch overhead (30 ms tunnel RTT here)
+    is amortized n-fold.  The scheduler only bursts min(remaining)
+    tokens, so no request overshoots its budget."""
+    def it(carry, _):
+        tok, cs, pos, k = carry
+        k, sk = jax.random.split(k)
+        logits, cs = llama.forward(spec, params, tok, kv_caches=cs,
+                                   cache_pos=pos)
+        nxt = sample_logits(logits[:, -1], sk, temperature, top_k)
+        nxt = jnp.where(active, nxt, 0)
+        return (nxt[:, None], cs, pos + 1, k), nxt
+
+    (tok, caches, pos, _), toks = jax.lax.scan(
+        it, (tokens, caches, positions, key), None, length=n)
+    return toks.T, caches
+
+
 @functools.partial(jax.jit, static_argnames=("spec",))
 def _prefill_slot(spec, params, caches, slot, tokens, pos0):
     """Write one slot's prompt chunk into the pool caches.
@@ -143,10 +168,50 @@ class ContinuousBatcher:
                 self.positions[slot] = 0
         return True
 
-    def run(self, max_steps: int = 10000):
+    def step_burst(self, n: int):
+        """n decode steps in one dispatch (no admission in between)."""
+        active = np.array([r is not None for r in self.slot_req])
+        self.key, sk = jax.random.split(self.key)
+        toks, self.caches = _pool_burst(
+            self.spec, self.params, jnp.array(self.cur), self.caches,
+            jnp.array(self.positions), jnp.array(active), sk, n,
+            self.temperature, self.top_k)
+        toks = np.asarray(toks)  # (B, n)
+        for slot, req in enumerate(self.slot_req):
+            if req is None:
+                continue
+            self.positions[slot] += n
+            req.output.extend(int(t) for t in toks[slot])
+            self.cur[slot, 0] = int(toks[slot, -1])
+            full = self.positions[slot] + 1 >= self.max_seq
+            eos_hit = (self.eos_id is not None
+                       and self.eos_id in toks[slot].tolist())
+            if eos_hit:
+                cut = toks[slot].tolist().index(self.eos_id) + 1
+                req.output = req.output[: len(req.output) - n + cut]
+            if len(req.output) >= req.max_new_tokens or full or eos_hit:
+                req.done = True
+                self.finished[req.rid] = req
+                self.slot_req[slot] = None
+                self.positions[slot] = 0
+
+    def run(self, max_steps: int = 10000, burst: int = 16):
+        """Drive to completion.  burst > 1 uses multi-step scheduling:
+        between admissions, up to `burst` tokens decode in one dispatch
+        (bounded by the minimum remaining budget so nothing overshoots;
+        EOS inside a burst trims the output post-hoc)."""
         steps = 0
         while (any(r is not None for r in self.slot_req) or self.queue) \
                 and steps < max_steps:
-            self.step()
+            self._admit()
+            rem = [r.max_new_tokens - len(r.output)
+                   for r in self.slot_req if r is not None]
+            room = [self.max_seq - 1 - self.positions[s]
+                    for s, r in enumerate(self.slot_req) if r is not None]
+            n = min([burst] + rem + room) if rem else 0
+            if n >= 2:
+                self.step_burst(n)
+            else:
+                self.step()
             steps += 1
         return self.finished

@@ -8,9 +8,13 @@ chunked-prefill admission cost.  Prints one JSON line.
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def main():
@@ -51,17 +55,34 @@ def main():
     b = ContinuousBatcher(spec, params, n_slots=args.slots,
                           max_seq=args.prompt_len + args.new_tokens + 8,
                           prefill_chunk=64)
-    # warm compile: one request end-to-end
-    b.submit(list(rng.integers(0, 1000, args.prompt_len)), 4)
+    # warm compile: one FULL-shape request end-to-end (the burst scan is
+    # jitted per static burst length — warming with a shorter budget
+    # would leave the steady-state burst compile inside the timed loop)
+    b.submit(list(rng.integers(0, 1000, args.prompt_len)),
+             args.new_tokens)
     b.run()
     b.finished.clear()
 
     for _ in range(args.requests):
         b.submit(list(rng.integers(0, 1000, args.prompt_len)),
                  args.new_tokens)
+    # phase instrumentation: time admission (prefill) vs decode bursts
+    admit_t = [0.0]
+    _admit0 = b._admit
+
+    def timed_admit():
+        t = time.perf_counter()
+        _admit0()
+        import jax as _jax
+        _jax.block_until_ready(b.caches[0][0])
+        np.asarray(b.caches[0][0][0, 0, 0, :1])
+        admit_t[0] += time.perf_counter() - t
+    b._admit = timed_admit
     t0 = time.perf_counter()
     b.run()
     dt = time.perf_counter() - t0
+    print(f"admission (prefill) time: {admit_t[0]:.2f}s of {dt:.2f}s",
+          flush=True)
     toks = sum(len(r.output) for r in b.finished.values())
     scale = 32 / args.layers  # extrapolate to the full model
     print(json.dumps({

@@ -240,6 +240,29 @@ def test_int8_lm_head_close_to_bf16(dense_setup, tmp_path):
     assert rel2 < 0.02, rel2
 
 
+def test_lm_head_4bit_trellis(dense_setup, tmp_path):
+    """4-bit tcq2s lm_head (lm_head_bits=4): decode + prefill logits
+    track the bf16 head, and ce_loss agrees with forward()'s own CE."""
+    dp, _, _ = dense_setup
+    q16, p16 = build_quantized_model(
+        CFG, "ldlq_1_8_none_1.0", model_key="tiny_lm4",
+        save_dir=str(tmp_path), dense_params=dp)
+    q4, p4 = build_quantized_model(
+        CFG, "ldlq_1_8_none_1.0", model_key="tiny_lm4",
+        save_dir=str(tmp_path), dense_params=dp, lm_head_bits=4)
+    assert q4.lm_head_spec is not None and "lm_head_q4" in p4
+    toks = jnp.asarray(np.arange(16)[None, :] % CFG.vocab_size, jnp.int32)
+    c16 = float(ce_loss(q16, p16, toks))
+    c4 = float(ce_loss(q4, p4, toks))
+    assert abs(c16 - c4) < 0.05, (c16, c4)
+    # ce_loss == CE-from-forward-logits on the q4 path
+    logits = np.asarray(forward(q4, p4, toks), np.float32)
+    logp = jax.nn.log_softmax(jnp.asarray(logits[:, :-1]), axis=-1)
+    ref = float(-jnp.mean(jnp.take_along_axis(
+        logp, jnp.asarray(np.asarray(toks)[:, 1:])[..., None], axis=-1)))
+    assert abs(c4 - ref) < 2e-3, (c4, ref)
+
+
 def test_ce_loss_matches_forward_with_int8_lm_head(dense_setup, tmp_path):
     """ce_loss must slice off the padded-vocab columns AND rotate the
     hidden states into the int8 lm_head's incoherence basis — i.e. agree
