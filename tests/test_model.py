@@ -240,6 +240,32 @@ def test_int8_lm_head_close_to_bf16(dense_setup, tmp_path):
     assert rel2 < 0.02, rel2
 
 
+def test_a8_impl_logits_close_to_exact_bench_mix(tmp_path):
+    """End-to-end logits delta of impl=pallas_a8 (int8-activation MXU
+    path) vs impl=pallas (exact bf16 byte-sum) on the BENCH-mix scheme
+    family (merged tcq2s_6/tcq2s_8): the int8 activation quantization
+    must stay a small perturbation at the model level (VERDICT r3 #6)."""
+    from qpalette_tpu.runtime.loader import LAYER_KEYS
+    qd = {}
+    for i in range(CFG.num_layers):
+        for key in LAYER_KEYS:
+            qd[f"{i}_{key}"] = ("tcq2s_8_none_0.9"
+                                if key == "mlp.down_proj"
+                                else "tcq2s_6_none_0.9")
+    mi = [["merge_qkv", "merge_ug"]] * CFG.num_layers
+    outs = {}
+    for impl in ("pallas", "pallas_a8"):
+        spec, params = build_quantized_model(
+            CFG, qd, merge_info=mi, model_key="tiny_a8mix",
+            save_dir=str(tmp_path), dummy=True, impl=impl)
+        toks = jnp.asarray(np.arange(4)[None, :] % CFG.vocab_size,
+                           jnp.int32)
+        outs[impl] = np.asarray(forward(spec, params, toks), np.float32)
+    d = np.abs(outs["pallas_a8"] - outs["pallas"]).max()
+    scale = np.abs(outs["pallas"]).max() + 1e-9
+    assert d / scale < 0.05, d / scale
+
+
 def test_lm_head_4bit_trellis(dense_setup, tmp_path):
     """4-bit tcq2s lm_head (lm_head_bits=4): decode + prefill logits
     track the bf16 head, and ce_loss agrees with forward()'s own CE."""
