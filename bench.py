@@ -127,36 +127,46 @@ def main():
             save_dir="/tmp/qpt_bench", dummy=True, impl=impl, num_layers=nl,
             lm_head_bits=lm_bits)
         prompt = np.array([[1]], dtype=np.int32)
-        # best of 2 timed bursts (the reference averages 3 samples,
-        # measure_latency.py:236-273; best-of excludes host jitter)
-        stats = None
-        for _ in range(2):
+        # 3 timed bursts, matching the reference's 3-sample methodology
+        # (measure_latency.py:236-273): the headline value and vs_baseline
+        # are keyed off the MEAN; best-of is reported alongside (host
+        # jitter through the tunnel only ever slows a burst down)
+        rates = []
+        for _ in range(int(os.environ.get("QPT_BENCH_BURSTS", "3"))):
             seq, s = generate_fast(spec, params, prompt,
                                    max_new_tokens=n_tokens,
                                    max_seq=2 * n_tokens, temperature=0.6,
                                    top_k=5)
-            if stats is None or s["tokens_per_sec"] > stats["tokens_per_sec"]:
-                stats = s
+            rates.append(s["tokens_per_sec"])
+        stats = {"tokens_per_sec": float(np.mean(rates)),
+                 "tokens_per_sec_best": float(np.max(rates)),
+                 "tokens_per_sec_samples": [round(float(r), 2)
+                                            for r in rates]}
         # streamed-per-token bytes: every weight EXCEPT the embedding
-        # table (one row gathered per token, not streamed)
+        # table (one row gathered per token, not streamed).  Split into
+        # per-layer vs non-layer (lm_head etc.) so partial-layer runs
+        # extrapolate only the per-layer part.
         mb = model_bytes(params)
         mb -= params["embed"].size * params["embed"].dtype.itemsize
-        return stats, mb
+        mb_layers = model_bytes({"layers": params["layers"]})
+        return stats, mb, mb_layers
 
     extrapolated = False
     n_run = n_layers
     try:
-        stats, mbytes = run(n_layers)
+        stats, mbytes, mbytes_layers = run(n_layers)
     except Exception as e:
         print(f"{n_layers}-layer bench failed ({type(e).__name__}: {e}); "
               f"falling back to 8 layers", file=sys.stderr)
         n_run = 8
-        stats, mbytes = run(n_run)
+        stats, mbytes, mbytes_layers = run(n_run)
     toks = stats["tokens_per_sec"]
+    toks_best = stats["tokens_per_sec_best"]
     if n_run != full_layers:
         extrapolated = True
         # per-token time scales with quantized layer count
         toks = 1.0 / ((1.0 / toks) * full_layers / n_run)
+        toks_best = 1.0 / ((1.0 / toks_best) * full_layers / n_run)
 
     lm_label = {16: "bf16", 8: "int8", 4: "4-bit tcq2s"}[lm_bits]
     if scheme == "solved":
@@ -169,20 +179,26 @@ def main():
         bits_label = f"3.27-bit arith-TCQ MSQ ({lm_label} lm_head)"
     else:
         bits_label = "3.25-bit"
-    metric = (f"decode tokens/s/chip bs=1 Llama-3.1-8B {bits_label}"
+    metric = (f"decode tokens/s/chip bs=1 Llama-3.1-8B {bits_label} "
+              f"(mean of {len(stats['tokens_per_sec_samples'])} bursts)"
               + (" (extrapolated)" if extrapolated else ""))
     # roofline accounting (SURVEY §5.1 / reference measure_latency.py
     # GB/s prints): every decoded token streams all packed weights + the
-    # int8 lm_head once; KV-cache reads add ~2% at T=512 and are omitted.
-    gbps = mbytes * (full_layers / n_run) * float(toks) / 1e9
+    # int8/4-bit lm_head once; KV-cache reads add ~2% at T=512 and are
+    # omitted.  Only the per-LAYER bytes scale with the layer count —
+    # lm_head/ln_f bytes are streamed once regardless (round-4 ADVICE).
+    streamed = (mbytes_layers * (full_layers / n_run)
+                + (mbytes - mbytes_layers))
+    gbps = streamed * float(toks) / 1e9
     print(json.dumps({
         "metric": metric,
         "value": round(float(toks), 2),
         "unit": "tokens/s",
         "vs_baseline": round(float(toks) / BASELINE_TOKS, 4),
+        "best_tokens_per_sec": round(float(toks_best), 2),
+        "burst_samples": stats["tokens_per_sec_samples"],
         "achieved_GBps": round(gbps, 1),
-        "streamed_GB_per_token": round(mbytes * (full_layers / n_run) / 1e9,
-                                       3),
+        "streamed_GB_per_token": round(streamed / 1e9, 3),
         # 819 GB/s = v5e HBM spec; 690 GB/s = measured dense-stream
         # ceiling on this chip (docs/TPU_NOTES.md)
         "roofline_frac_spec": round(gbps / 819.0, 3),

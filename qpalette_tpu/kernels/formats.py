@@ -97,17 +97,39 @@ def planar_dense(KV: int) -> bool:
     KV/2*(t+1), circular within the tile — tail-biting makes the tile's
     bitstream circular).  Stored bits/weight = KV/2 exactly, vs the
     aligned layout's 32*ceil((15KV+16)/32)/(8*KV) inflation (1.33x at
-    KV=6).  Odd KV keeps the aligned layout (per-sublane streams start at
-    16-bit half-word offsets; a dense variant would need per-sublane-parity
-    shifts in the hot decode loop)."""
+    KV=6).  Odd KV with an even tile count uses the DOUBLE-TILE dense
+    layout (planar_dense_odd); odd KV with odd k/16 keeps the aligned
+    fallback."""
     return KV % 2 == 0
 
 
-def planar_n_planes(KV: int) -> int:
-    """Planes per sublane group for the planar layouts (dense or aligned).
+def planar_dense_odd(KV: int, k: int) -> bool:
+    """Odd KV: DENSE double-tile planar layout (zero storage inflation).
 
-    The decode kernel appends one extra rolled plane in the dense case, so
-    in-kernel `planes[j0 + 1]` indexing is uniform across layouts."""
+    Two consecutive k-tiles (A, B) share one block.  Sublane s = (tile
+    h = s&1, sublane-pair-group r = s>>1); group r covers the tile's two
+    adjacent sublane streams {2r, 2r+1} whose combined span is 32·KV bits
+    = exactly KV whole 32-bit words, so plane j (j < KV) holds tile h's
+    raw word (r·KV + j) and storage is exactly KV/2 bits per weight for
+    V=2 (KV for V=1).  The decode loop runs TWO extractions per m-row
+    (parity p selects stream 2r+p; state bit offset within the group =
+    KV·(16p + i)) — the same 32 extractions per two tiles as the
+    single-tile layouts, so decode ALU cost is unchanged.  The carry word
+    r·KV + KV = word 0 of group r+1 is one sublane roll by -2 of plane 0
+    (parity-preserving; wraps to group 0 of the same tile, matching the
+    tail-biting circular tile stream).  Requires an even tile count
+    (k/16 % 2 == 0) — odd tile counts (tiny test shapes) keep the aligned
+    layout."""
+    return KV % 2 == 1 and (k // 16) % 2 == 0
+
+
+def planar_n_planes(KV: int) -> int:
+    """Planes per sublane group for the single-tile planar layouts
+    (dense-even or aligned).  The dense-odd double-tile layout has KV
+    planes per block instead (see planar_dense_odd).
+
+    The decode kernel appends one extra rolled plane in the dense cases,
+    so in-kernel `planes[j0 + 1]` indexing is uniform across layouts."""
     return KV // 2 if planar_dense(KV) else tcq1_n_planes(KV)
 
 
@@ -125,8 +147,18 @@ def tcq1_planar_weights(trellis, m: int, k: int, KV: int):
     assert W == 8 * KV
     mt, kt = m // 16, k // 16
     assert T == mt * kt
-    NP = planar_n_planes(KV)
     arr = jnp.asarray(trellis).reshape(mt, kt, W).transpose(1, 2, 0)
+    if planar_dense_odd(KV, k):
+        # double-tile dense layout: block g covers tiles (2g, 2g+1);
+        # plane j sublane s = tile (2g + (s&1))'s raw word ((s>>1)*KV + j)
+        a = arr.reshape(kt // 2, 2, W, mt)
+        rows = []
+        for j in range(KV):
+            for s in range(16):
+                h, r = s & 1, s >> 1
+                rows.append(a[:, h, r * KV + j, :])
+        return jnp.stack(rows, axis=1)  # (kt/2, KV*16, mt)
+    NP = planar_n_planes(KV)
     rows = []
     for j in range(NP):
         for t in range(16):
@@ -159,8 +191,18 @@ def tcq2_planar_weights(trellis, m: int, k: int, KV: int):
     assert W == 4 * KV
     mt, kt = m // 16, k // 16
     assert T == mt * kt
-    NP = planar_n_planes(KV)
     arr = jnp.asarray(trellis).reshape(mt, kt, W).transpose(1, 2, 0)
+    if planar_dense_odd(KV, k):
+        # double-tile dense layout (see planar_dense_odd): plane j sublane
+        # s = tile (2g + (s&1))'s raw word ((s>>1)*KV + j)
+        a = arr.reshape(kt // 2, 2, W, mt)
+        rows = []
+        for j in range(KV):
+            for s in range(8):
+                h, r = s & 1, s >> 1
+                rows.append(a[:, h, r * KV + j, :])
+        return jnp.stack(rows, axis=1)  # (kt/2, KV*8, mt)
+    NP = planar_n_planes(KV)
     rows = []
     for j in range(NP):
         for t in range(8):

@@ -390,13 +390,14 @@ _MAD2_A, _MAD2_B, _MAD2_C = 264435761, 1013904223, 1664525
 _MAD_INV = 1.0 / 147.800537109375
 
 
-def _roll_next(plane):
-    """Sublane roll by -1: sublane t gets sublane (t+1) % rows — recovers
-    the dense layout's carry word (formats.planar_dense)."""
+def _roll_next(plane, step: int = 1):
+    """Sublane roll by -step: sublane t gets sublane (t+step) % rows —
+    recovers the dense layouts' carry word (formats.planar_dense: step 1;
+    formats.planar_dense_odd: step 2, parity-preserving)."""
     try:
-        return pltpu.roll(plane, -1, 0)
+        return pltpu.roll(plane, -step, 0)
     except Exception:
-        return jnp.roll(plane, -1, axis=0)
+        return jnp.roll(plane, -step, axis=0)
 
 
 def _planar_states(tr_ref, kt, KV, NP, sub, dense=False):
@@ -421,6 +422,31 @@ def _planar_states(tr_ref, kt, KV, NP, sub, dense=False):
             u = ((planes[j0] >> jnp.uint32(sh))
                  | (planes[j0 + 1] << jnp.uint32(32 - sh)))
         yield i, u & M16
+
+
+def _planar_states_odd(tr_ref, dt, KV, sub):
+    """Yield the 32 masked state vectors of DOUBLE-tile dt in the dense
+    odd-KV layout (formats.planar_dense_odd) as (m-row i, parity p, u).
+
+    sub = sublanes per plane: 16 for V=1, 8 for V=2.  Sublane s holds the
+    sublane-pair-group r = s>>1 of tile h = s&1; plane j is the group's
+    raw word r*KV + j, so the state at m-row i, stream parity p sits at
+    the group-relative bit offset KV*(16p + i) — a constant shift per
+    (i, p), uniform across sublanes.  The carry word (group's word KV) is
+    a parity-preserving sublane roll by -2 of plane 0."""
+    planes = [tr_ref[dt, jj * sub:(jj + 1) * sub, :] for jj in range(KV)]
+    planes.append(_roll_next(planes[0], 2))
+    M16 = jnp.uint32(0xFFFF)
+    for p in range(2):
+        for i in range(16):
+            off = KV * (16 * p + i)
+            j0, sh = off >> 5, off & 31
+            if sh + 16 <= 32:
+                u = planes[j0] >> jnp.uint32(sh) if sh else planes[j0]
+            else:
+                u = ((planes[j0] >> jnp.uint32(sh))
+                     | (planes[j0 + 1] << jnp.uint32(32 - sh)))
+            yield i, p, u & M16
 
 
 def _mad_scramble(u, mode: str):
@@ -480,7 +506,7 @@ def _bytes_as_bf16_signed(h_chunk, interpret: bool):
 
 
 def _arith_kernel(x_ref, tr_ref, o_ref, d0, d1, *, KV, tk, wm, cc, NP,
-                  v2, mode, a8, pingpong, interp, dense):
+                  v2, mode, a8, pingpong, interp, dense, dense_odd=False):
     """Unified planar arithmetic-trellis decode + MXU byte-sum matmul.
 
     v2=False (tcq1): one 16-bit state per weight, scramble per `mode`
@@ -530,6 +556,24 @@ def _arith_kernel(x_ref, tr_ref, o_ref, d0, d1, *, KV, tk, wm, cc, NP,
                 d_ref[r:r + 16, i * wm:(i + 1) * wm] = \
                     _mad_scramble(u, mode) ^ XOR
 
+    def decode_dtile(dt, d_ref, row0):
+        # dense odd-KV double-tile: scratch rows per double-tile group by
+        # (parity p, sublane s); the host x-prep permutes the activation
+        # into the matching byte-row order (see _arith_decode_matmul)
+        for i, p, u in _planar_states_odd(tr_ref, dt, KV, sub):
+            r = row0 + dt * 2 * tpr
+            if sum2:
+                rr = r + p * 8
+                d_ref[rr:rr + 8, i * wm:(i + 1) * wm] = u * A1 + B1
+            elif v2:
+                rr = r + p * 8
+                d_ref[rr:rr + 8, i * wm:(i + 1) * wm] = u * A1
+                d_ref[rr + 16:rr + 24, i * wm:(i + 1) * wm] = u * A2
+            else:
+                rr = r + p * 16
+                d_ref[rr:rr + 16, i * wm:(i + 1) * wm] = \
+                    _mad_scramble(u, mode) ^ XOR
+
     x = x_ref[0]  # (N, 4*tpr*tk)
     acc = None
     for c in range(tk // cc):
@@ -538,8 +582,12 @@ def _arith_kernel(x_ref, tr_ref, o_ref, d0, d1, *, KV, tk, wm, cc, NP,
             d_ref, row0 = (d0, -c0 * tpr) if c % 2 == 0 else (d1, -c0 * tpr)
         else:
             d_ref, row0 = d0, 0
-        for kt in range(c0, c0 + cc):
-            decode_tile(kt, d_ref, row0)
+        if dense_odd:
+            for dt in range(c0 // 2, (c0 + cc) // 2):
+                decode_dtile(dt, d_ref, row0)
+        else:
+            for kt in range(c0, c0 + cc):
+                decode_tile(kt, d_ref, row0)
         lo = 0 if pingpong else c0 * tpr
         chunk = d_ref[lo:lo + cc * tpr, :]
         if a8:
@@ -573,6 +621,48 @@ def _tcq2_x4(x, gk, tk):
     return x4.reshape(gk, N, 4 * tk * 16)
 
 
+def _odd_src_perm32(v2: bool, sum2: bool):
+    """Dense odd-KV byte-row order: source k-col (within each 32-col
+    double-tile group) for each target byte position (len 32*repeat).
+
+    Byte row within a double-tile (see _arith_kernel.decode_dtile):
+      sum2:     64 rows (p, r, h, w, j)   src k-col = 16h + 4r + 2p + w
+      dualmad: 128 rows (c, p, r, h, b4)  src k-col = 16h + 4r + 2p + c
+      v1:      128 rows (p, r, h, b4)     src k-col = 16h + 2r + p
+    """
+    if sum2:
+        return np.array([16 * h + 4 * r + 2 * p + w
+                         for p in range(2) for r in range(4)
+                         for h in range(2) for w in range(2)
+                         for _ in range(2)], np.int64)
+    if v2:
+        return np.array([16 * h + 4 * r + 2 * p + c
+                         for c in range(2) for p in range(2)
+                         for r in range(4) for h in range(2)
+                         for _ in range(4)], np.int64)
+    return np.array([16 * h + 2 * r + p
+                     for p in range(2) for r in range(8)
+                     for h in range(2) for _ in range(4)], np.int64)
+
+
+def _odd_x_prep(x, gk, tk, v2: bool, sum2: bool):
+    """Host activation permutation for the dense odd-KV layout (pure
+    reshape/transpose + repeat): x (N, k) -> (gk, N, 4*tpr*tk)."""
+    N = x.shape[0]
+    nd = tk // 2  # double-tiles per k-chunk
+    if sum2:
+        xp = x.reshape(N, gk, nd, 2, 4, 2, 2)       # (h, r, p, w)
+        xp = xp.transpose(1, 0, 2, 5, 4, 3, 6)       # -> (p, r, h, w)
+        return jnp.repeat(xp.reshape(gk, N, tk * 16), 2, axis=2)
+    if v2:
+        xp = x.reshape(N, gk, nd, 2, 4, 2, 2)       # (h, r, p, c)
+        xp = xp.transpose(1, 0, 2, 6, 5, 4, 3)       # -> (c, p, r, h)
+        return jnp.repeat(xp.reshape(gk, N, tk * 16), 4, axis=2)
+    xp = x.reshape(N, gk, nd, 2, 8, 2)               # (h, r, p)
+    xp = xp.transpose(1, 0, 2, 5, 4, 3)              # -> (p, r, h)
+    return jnp.repeat(xp.reshape(gk, N, tk * 16), 4, axis=2)
+
+
 # Measured block-parameter table for the Llama-3.1-8B decode shapes
 # (scripts/tune_sum2.py medians on v5e); missing shapes fall back to the
 # heuristic below.
@@ -586,7 +676,8 @@ _TUNE_TABLE = {
 }
 
 
-def _rot_prep(x, su, blocks: int, n: int, repeat: int, gk: int):
+def _rot_prep(x, su, blocks: int, n: int, repeat: int, gk: int,
+              src_perm32=None):
     """Fused incoherence-rotation + byte-row-repeat activation prep.
 
     Computes z = (x ⊙ su) @ Ĥᵀ (models/llama._rotate_in semantics, incl.
@@ -599,6 +690,12 @@ def _rot_prep(x, su, blocks: int, n: int, repeat: int, gk: int):
     round-trip between rotation and quantization (the north star's
     "rotation fused into the matmul prologue").
 
+    src_perm32 (dense odd-KV layouts): length 32*repeat array giving the
+    source k-col (within each 32-col double-tile group) of every target
+    byte position — the byte-row permutation is folded into the factor's
+    column order (requires the factor width to be a multiple of 32, see
+    qlinear.can_fuse_rot).
+
     Returns (gk, N, repeat*n/gk) float32.
     """
     from qpalette_tpu.ops.hadamard import _factor_mats, get_had_factors
@@ -608,16 +705,26 @@ def _rot_prep(x, su, blocks: int, n: int, repeat: int, gk: int):
     N = x.shape[0]
     y = x.astype(jnp.float32) * su.astype(jnp.float32)[None, :]
     scale = np.float64(nb) ** -0.5
+
+    def expand_cols(Hb):
+        if src_perm32 is None:
+            return np.repeat(Hb, repeat, axis=1)
+        b = Hb.shape[1]
+        assert b % 32 == 0, b
+        idx = (np.arange(0, b, 32)[:, None]
+               + np.asarray(src_perm32)[None, :]).reshape(-1)
+        return Hb[:, idx]
+
     if len(facs) == 1:
         _, mats = _factor_mats(nb, True, "float32")
-        Hb2 = np.repeat(mats[0], repeat, axis=1) * scale
+        Hb2 = expand_cols(mats[0]) * scale
         z = jax.lax.dot_general(
             y.reshape(N * blocks, nb), jnp.asarray(Hb2),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     else:
         a, b = facs
         _, mats = _factor_mats(nb, True, "float32")
-        Hb2 = np.repeat(mats[1], repeat, axis=1) * scale
+        Hb2 = expand_cols(mats[1]) * scale
         z = jnp.einsum("zij,ia,jb->zab", y.reshape(N * blocks, a, b),
                        jnp.asarray(mats[0]), jnp.asarray(Hb2))
     # flat (N, repeat*n), chunk-contiguous -> (gk, N, repeat*chunk)
@@ -636,18 +743,21 @@ def _arith_decode_matmul(x, tr_pl, KV: int, mode: str, m: int, k: int,
     scratch ping-pong (decode and dot overlap); dualmad/v1 keep the
     round-2 heuristic.  `tune` = ((key, val), ...) overrides
     {tk, wm, cc, pingpong} for autotuning sweeps."""
-    from qpalette_tpu.kernels.formats import planar_n_planes, planar_dense
+    from qpalette_tpu.kernels.formats import (planar_n_planes, planar_dense,
+                                              planar_dense_odd)
     sum2 = v2 and mode == "sum2"
     tune = dict(_TUNE_TABLE.get((mode, m, k), {}) if a8 and sum2 else {},
                 **dict(tune))
     N = x.shape[0]
     NP = planar_n_planes(KV)
     dense = planar_dense(KV)
+    dense_odd = planar_dense_odd(KV, k)
     tpr = 8 if sum2 else 16
     kt_total = k // 16
     tk0 = tune.get("tk", 64 if sum2 and a8 else 32)
-    tk = next(c for c in (tk0, 64, 32, 16, 8, 4, 2, 1)
-              if c <= tk0 and kt_total % c == 0)
+    tkc = (tk0, 64, 32, 16, 8, 4, 2) if dense_odd else \
+        (tk0, 64, 32, 16, 8, 4, 2, 1)
+    tk = next(c for c in tkc if c <= tk0 and kt_total % c == 0)
     if "wm" in tune and (m // 16) % tune["wm"] == 0:
         wm = tune["wm"]
     elif a8 and (sum2 or k > 8192) and (m // 16) % 256 == 0:
@@ -657,18 +767,24 @@ def _arith_decode_matmul(x, tr_pl, KV: int, mode: str, m: int, k: int,
     gk = kt_total // tk
     gm = (m // 16) // wm
     cc0 = tune.get("cc", 8)
-    cc = next(c for c in (cc0, 8, 4, 2, 1) if tk % c == 0)
+    ccc = (cc0, 8, 4, 2) if dense_odd else (cc0, 8, 4, 2, 1)
+    cc = next(c for c in ccc if tk % c == 0)
     pingpong = tune.get("pingpong",
                         a8 and (sum2 or m <= 4096) and tk // cc >= 2)
     pingpong = pingpong and tk // cc >= 2
 
     if pre_rot is not None:
-        # x is the UN-rotated activation; rotation + repeat fused in one
+        # x is the UN-rotated activation; rotation + repeat (and, for the
+        # dense odd-KV layout, the byte-row permutation) fused in one
         # contraction chain (see _rot_prep).  dualmad's interleaved even/
         # odd permutation is not a plain repeat — callers must not fuse it.
         assert not (v2 and mode == "dualmad"), "pre_rot unsupported: dualmad"
         su_r, blocks_r = pre_rot
-        xp = _rot_prep(x, su_r, blocks_r, k, 2 if sum2 else 4, gk)
+        perm = _odd_src_perm32(v2, sum2) if dense_odd else None
+        xp = _rot_prep(x, su_r, blocks_r, k, 2 if sum2 else 4, gk,
+                       src_perm32=perm)
+    elif dense_odd:
+        xp = _odd_x_prep(x, gk, tk, v2, sum2)
     elif sum2:  # natural pair order: pair t = cols (2t, 2t+1)
         xp = jnp.repeat(x.reshape(N, gk, tk * 16).transpose(1, 0, 2), 2,
                         axis=2)
@@ -699,17 +815,20 @@ def _arith_decode_matmul(x, tr_pl, KV: int, mode: str, m: int, k: int,
     scratch = [pltpu.VMEM((rows, 16 * wm), jnp.uint32),
                pltpu.VMEM((rows, 16 * wm) if pingpong else (8, 128),
                           jnp.uint32)]
+    sub = 8 if v2 else 16
+    tr_block = ((tk // 2, KV * sub, wm) if dense_odd else
+                (tk, NP * sub, wm))
     out = pl.pallas_call(
         functools.partial(_arith_kernel, KV=KV, tk=tk, wm=wm, cc=cc, NP=NP,
                           v2=v2, mode=mode, a8=a8, pingpong=pingpong,
-                          interp=interp, dense=dense),
+                          interp=interp, dense=dense, dense_odd=dense_odd),
         out_shape=jax.ShapeDtypeStruct((N, m), odtype),
         grid=(gm, gk),
         in_specs=[
             pl.BlockSpec((1, N, 4 * tpr * tk), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk, NP * (8 if v2 else 16), wm),
-                         lambda i, j: (j, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tr_block, lambda i, j: (j, 0, i),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((N, 16 * wm), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
@@ -759,62 +878,106 @@ def tcq2_decode_matmul(x, tr_pl, KV: int, m: int, k: int, a8: bool = False,
                                 a8=a8, tune=tune, pre_rot=pre_rot)
 
 
-def _tcq2_dequant_kernel(tr_ref, o_ref, *, KV, tk, wm, NP, mode, dense):
+def _sum2_bytes(u, XOR, MPAIR):
+    g = (u * jnp.uint32(_MAD1_A) + jnp.uint32(_MAD1_B)) ^ XOR
+    return (g & MPAIR) + ((g >> jnp.uint32(8)) & MPAIR)
+
+
+def _tcq2_dequant_kernel(tr_ref, o_ref, *, KV, tk, wm, NP, mode, dense,
+                         dense_odd):
     MPAIR = jnp.uint32(0x00FF00FF)
     XOR = jnp.uint32(0x80808080)
     A1, A2 = jnp.uint32(_MAD1_A), jnp.uint32(_MAD2_A)
-    B1 = jnp.uint32(_MAD1_B)
+
+    def decode_u(u, half):
+        """One scrambled state -> the `half`-th weight of each pair."""
+        if mode == "sum2":
+            t2 = _sum2_bytes(u, XOR, MPAIR)
+            s2 = (t2 >> jnp.uint32(16 * half)) & jnp.uint32(0x3FF)
+            return ((s2.astype(jnp.int32) - 256).astype(jnp.float32)
+                    * _MAD_INV)
+        g = (u * (A1 if half == 0 else A2)) ^ XOR
+        t2 = (g & MPAIR) + ((g >> jnp.uint32(8)) & MPAIR)
+        s4 = (t2 + (t2 >> jnp.uint32(16))) & jnp.uint32(0x7FF)
+        return ((s4.astype(jnp.int32) - 512).astype(jnp.float32)
+                * _MAD_INV)
+
+    if dense_odd:
+        # rows (dt, p, half, s): k = 32*dt + 16*(s&1) + 4*(s>>1) + 2p + half
+        for dt in range(tk // 2):
+            for i, p, u in _planar_states_odd(tr_ref, dt, KV, 8):
+                for half in (0, 1):
+                    r = dt * 32 + p * 16 + half * 8
+                    o_ref[r:r + 8, i * wm:(i + 1) * wm] = \
+                        decode_u(u, half).astype(DDT)
+        return
     for kt in range(tk):
         for i, u in _planar_states(tr_ref, kt, KV, NP, 8, dense):
-            if mode == "sum2":
-                # one scramble per pair: byte sums (b0+b1, b2+b3) are the
-                # two weights (codebooks.decode_sum2)
-                g = (u * A1 + B1) ^ XOR
-                t2 = (g & MPAIR) + ((g >> jnp.uint32(8)) & MPAIR)
-                for half in (0, 1):
-                    s2 = (t2 >> jnp.uint32(16 * half)) & jnp.uint32(0x3FF)
-                    val = ((s2.astype(jnp.int32) - 256).astype(jnp.float32)
-                           * _MAD_INV)
-                    o_ref[kt * 16 + half * 8:kt * 16 + half * 8 + 8,
-                          i * wm:(i + 1) * wm] = val.astype(DDT)
-                continue
-            for half, A in ((0, A1), (1, A2)):
-                g = (u * A) ^ XOR  # unsigned bytes = signed + 128
-                t2 = (g & MPAIR) + ((g >> jnp.uint32(8)) & MPAIR)
-                s4 = (t2 + (t2 >> jnp.uint32(16))) & jnp.uint32(0x7FF)
-                val = ((s4.astype(jnp.int32) - 512).astype(jnp.float32)
-                       * _MAD_INV)
-                o_ref[kt * 16 + half * 8:kt * 16 + half * 8 + 8,
-                      i * wm:(i + 1) * wm] = val.astype(DDT)
+            for half in (0, 1):
+                r = kt * 16 + half * 8
+                o_ref[r:r + 8, i * wm:(i + 1) * wm] = \
+                    decode_u(u, half).astype(DDT)
 
 
-@functools.partial(jax.jit, static_argnames=("KV", "m", "k", "mode"))
-def tcq2_dequant(tr_pl, KV: int, m: int, k: int, mode: str = "dualmad"):
-    """planar tcq2 trellis -> W^T (k, m) bf16 in HBM."""
-    from qpalette_tpu.kernels.formats import planar_n_planes, planar_dense
+def _v2_row_perm(k: int, dense_odd: bool) -> np.ndarray:
+    """natural k -> kernel row index (within the full k dim) for the V=2
+    dequant kernels' row order."""
+    if dense_odd:
+        perm = np.empty(32, np.int64)
+        for p in range(2):
+            for half in range(2):
+                for s in range(8):
+                    kk = 16 * (s & 1) + 4 * (s >> 1) + 2 * p + half
+                    perm[kk] = p * 16 + half * 8 + s
+        base = np.arange(k // 32)[:, None] * 32
+    else:
+        perm = np.empty(16, np.int64)
+        for half in range(2):
+            for t in range(8):
+                perm[2 * t + half] = half * 8 + t
+        base = np.arange(k // 16)[:, None] * 16
+    return (base + perm[None, :]).reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("KV", "m", "k", "mode",
+                                             "kernel_order"))
+def tcq2_dequant(tr_pl, KV: int, m: int, k: int, mode: str = "dualmad",
+                 kernel_order: bool = False):
+    """planar tcq2 trellis -> W^T (k, m) bf16 in HBM.
+
+    kernel_order=True returns the raw kernel layout (rows permuted within
+    16/32-row groups by _v2_row_perm, columns in (m-row-in-tile, mcol)
+    block order) with NO host-side relayout — the layout dequant_matmul
+    consumes.  kernel_order=False applies the fixups to natural (k, m)."""
+    from qpalette_tpu.kernels.formats import (planar_n_planes, planar_dense,
+                                              planar_dense_odd)
     NP = planar_n_planes(KV)
+    dense_odd = planar_dense_odd(KV, k)
     kt_total = k // 16
-    tk = next(c for c in (32, 16, 8, 4, 2, 1) if kt_total % c == 0)
+    tkc = (32, 16, 8, 4, 2) if dense_odd else (32, 16, 8, 4, 2, 1)
+    tk = next(c for c in tkc if kt_total % c == 0)
     wm = _pick_width(m // 16, candidates=(128, 64))
     gk = kt_total // tk
     gm = (m // 16) // wm
+    tr_block = (tk // 2, KV * 8, wm) if dense_odd else (tk, NP * 8, wm)
     out = pl.pallas_call(
         functools.partial(_tcq2_dequant_kernel, KV=KV, tk=tk, wm=wm, NP=NP,
-                          mode=mode, dense=planar_dense(KV)),
+                          mode=mode, dense=planar_dense(KV),
+                          dense_odd=dense_odd),
         out_shape=jax.ShapeDtypeStruct((k, m), DDT),
         grid=(gm, gk),
-        in_specs=[pl.BlockSpec((tk, NP * 8, wm), lambda i, j: (j, 0, i),
+        in_specs=[pl.BlockSpec(tr_block, lambda i, j: (j, 0, i),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((tk * 16, 16 * wm), lambda i, j: (j, i),
                                memory_space=pltpu.VMEM),
         compiler_params=_cparams(),
         interpret=_interpret(),
     )(tr_pl)
-    # rows within a 16-row tile are (half, t) -> k index 2t + half;
+    if kernel_order:
+        return out
+    out = jnp.take(out, jnp.asarray(_v2_row_perm(k, dense_odd)), axis=0)
     # block columns are (m-row-in-tile, mcol)
-    out = (out.reshape(k // 16, 2, 8, gm, 16, wm)
-           .transpose(0, 2, 1, 3, 5, 4).reshape(k, m))
-    return out
+    return (out.reshape(k, gm, 16, wm).transpose(0, 1, 3, 2).reshape(k, m))
 
 
 # ---------------------------------------------------------------------------
@@ -825,43 +988,78 @@ def tcq2_dequant(tr_pl, KV: int, m: int, k: int, mode: str = "dualmad"):
 # (lib/linear/tcq_linear.py:75-84).
 # ---------------------------------------------------------------------------
 
-def _tcq1_dequant_kernel(tr_ref, o_ref, *, KV, tk, wm, NP, mode, dense):
+def _tcq1_dequant_kernel(tr_ref, o_ref, *, KV, tk, wm, NP, mode, dense,
+                         dense_odd):
     MPAIR = jnp.uint32(0x00FF00FF)
+
+    def val_of(u):
+        h = _mad_scramble(u, mode)
+        # full VPU byte-sum (one-shot path; the fused kernel moves this
+        # onto the MXU instead)
+        t2 = (h & MPAIR) + ((h >> jnp.uint32(8)) & MPAIR)
+        s4 = (t2 + (t2 >> jnp.uint32(16))) & jnp.uint32(0x7FF)
+        return ((s4.astype(jnp.int32) - 510).astype(jnp.float32)
+                * _MAD_INV)
+
+    if dense_odd:
+        # rows (dt, p, s): k = 32*dt + 16*(s&1) + 2*(s>>1) + p
+        for dt in range(tk // 2):
+            for i, p, u in _planar_states_odd(tr_ref, dt, KV, 16):
+                r = dt * 32 + p * 16
+                o_ref[r:r + 16, i * wm:(i + 1) * wm] = val_of(u).astype(DDT)
+        return
     for kt in range(tk):
         for i, u in _planar_states(tr_ref, kt, KV, NP, 16, dense):
-            h = _mad_scramble(u, mode)
-            # full VPU byte-sum (one-shot path; the fused kernel moves this
-            # onto the MXU instead)
-            t2 = (h & MPAIR) + ((h >> jnp.uint32(8)) & MPAIR)
-            s4 = (t2 + (t2 >> jnp.uint32(16))) & jnp.uint32(0x7FF)
-            val = ((s4.astype(jnp.int32) - 510).astype(jnp.float32)
-                   * _MAD_INV)
             o_ref[kt * 16:(kt + 1) * 16, i * wm:(i + 1) * wm] = \
-                val.astype(DDT)
+                val_of(u).astype(DDT)
 
 
-@functools.partial(jax.jit, static_argnames=("KV", "m", "k", "mode"))
-def tcq1_dequant(tr_pl, KV: int, m: int, k: int, mode: str = "1mad"):
-    """planar trellis -> W^T (k, m) bf16 in HBM (1mad or 2mad decode)."""
-    from qpalette_tpu.kernels.formats import planar_n_planes, planar_dense
+def _v1_row_perm(k: int) -> np.ndarray:
+    """natural k -> kernel row index for the dense odd-KV V=1 layout."""
+    perm = np.empty(32, np.int64)
+    for p in range(2):
+        for s in range(16):
+            kk = 16 * (s & 1) + 2 * (s >> 1) + p
+            perm[kk] = p * 16 + s
+    return (np.arange(k // 32)[:, None] * 32 + perm[None, :]).reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("KV", "m", "k", "mode",
+                                             "kernel_order"))
+def tcq1_dequant(tr_pl, KV: int, m: int, k: int, mode: str = "1mad",
+                 kernel_order: bool = False):
+    """planar trellis -> W^T (k, m) bf16 in HBM (1mad or 2mad decode).
+
+    kernel_order=True: raw kernel layout, no host relayout (see
+    tcq2_dequant)."""
+    from qpalette_tpu.kernels.formats import (planar_n_planes, planar_dense,
+                                              planar_dense_odd)
     NP = planar_n_planes(KV)
+    dense_odd = planar_dense_odd(KV, k)
     kt_total = k // 16
-    tk = next(c for c in (32, 16, 8, 4, 2, 1) if kt_total % c == 0)
+    tkc = (32, 16, 8, 4, 2) if dense_odd else (32, 16, 8, 4, 2, 1)
+    tk = next(c for c in tkc if kt_total % c == 0)
     wm = _pick_width(m // 16, candidates=(128, 64))
     gk = kt_total // tk
     gm = (m // 16) // wm
+    tr_block = (tk // 2, KV * 16, wm) if dense_odd else (tk, NP * 16, wm)
     out = pl.pallas_call(
         functools.partial(_tcq1_dequant_kernel, KV=KV, tk=tk, wm=wm, NP=NP,
-                          mode=mode, dense=planar_dense(KV)),
+                          mode=mode, dense=planar_dense(KV),
+                          dense_odd=dense_odd),
         out_shape=jax.ShapeDtypeStruct((k, m), DDT),
         grid=(gm, gk),
-        in_specs=[pl.BlockSpec((tk, NP * 16, wm), lambda i, j: (j, 0, i),
+        in_specs=[pl.BlockSpec(tr_block, lambda i, j: (j, 0, i),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((tk * 16, 16 * wm), lambda i, j: (j, i),
                                memory_space=pltpu.VMEM),
         compiler_params=_cparams(),
         interpret=_interpret(),
     )(tr_pl)
+    if kernel_order:
+        return out
+    if dense_odd:
+        out = jnp.take(out, jnp.asarray(_v1_row_perm(k)), axis=0)
     # block column order is (m-row-in-tile, mcol)
     return (out.reshape(k, gm, 16, wm).transpose(0, 1, 3, 2).reshape(k, m))
 
@@ -887,9 +1085,14 @@ def _tcomb_dequant_kernel(tr_ref, tab_ref, o_ref, *, KV1, KV2, S, tk, wm,
                           words_kv=KV2)
 
 
-@functools.partial(jax.jit, static_argnames=("KV", "S", "m", "k"))
-def tcq_dequant(tr_kt, tlut, KV: int, S: int, m: int, k: int):
-    """kernel-format trellis -> W^T (k, m) bf16 (V=2 quantlut_sym)."""
+@functools.partial(jax.jit, static_argnames=("KV", "S", "m", "k",
+                                             "kernel_order"))
+def tcq_dequant(tr_kt, tlut, KV: int, S: int, m: int, k: int,
+                kernel_order: bool = False):
+    """kernel-format trellis -> W^T (k, m) bf16 (V=2 quantlut_sym).
+
+    kernel_order=True returns the raw (16, k, m/16) kernel output (m-row v
+    leading, within-tile k rows in (c, s) order) — see dequant_matmul."""
     kt_total = k // 16
     tk = next(c for c in (16, 8, 4, 2, 1) if kt_total % c == 0)
     wm = _pick_width(m // 16, candidates=(256, 128, 64))
@@ -911,6 +1114,8 @@ def tcq_dequant(tr_kt, tlut, KV: int, S: int, m: int, k: int):
         compiler_params=_cparams(),
         interpret=_interpret(),
     )(tr_kt, tabs)
+    if kernel_order:
+        return out
     # (v, k, tile-col) -> (k, m): m = tile_col*16 + v; within-tile k-col
     # permutation (2s+c -> c*8+s) is the inverse of the fused kernel's
     # activation pre-permutation
@@ -920,8 +1125,10 @@ def tcq_dequant(tr_kt, tlut, KV: int, S: int, m: int, k: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("KV1", "KV2", "S", "m", "k"))
-def tcomb_dequant(trc, tlut, KV1: int, KV2: int, S: int, m: int, k: int):
+                   static_argnames=("KV1", "KV2", "S", "m", "k",
+                                    "kernel_order"))
+def tcomb_dequant(trc, tlut, KV1: int, KV2: int, S: int, m: int, k: int,
+                  kernel_order: bool = False):
     kt_total = k // 16
     half = kt_total // 2
     tk = next(c for c in (16, 8, 4, 2, 1) if half % c == 0)
@@ -946,6 +1153,8 @@ def tcomb_dequant(trc, tlut, KV1: int, KV2: int, S: int, m: int, k: int):
         compiler_params=_cparams(),
         interpret=_interpret(),
     )(trc, tabs)
+    if kernel_order:
+        return out
     W = out.transpose(1, 2, 0).reshape(k, m)
     return (W.reshape(k // 16, 2, 8, m).transpose(0, 2, 1, 3)
             .reshape(k, m))
@@ -973,9 +1182,14 @@ def _vq_dequant_kernel(qw_ref, tab_ref, o_ref, *, bits, vec, kb, kj, bm):
                 o_ref[r:r + 8, :] = val.astype(DDT)
 
 
-@functools.partial(jax.jit, static_argnames=("bits", "vec", "m", "k"))
-def vq_dequant(qw_t, lut, bits: int, vec: int, m: int, k: int):
-    """kernel-format VQ words -> W^T (k, m) bf16."""
+@functools.partial(jax.jit, static_argnames=("bits", "vec", "m", "k",
+                                             "kernel_order"))
+def vq_dequant(qw_t, lut, bits: int, vec: int, m: int, k: int,
+               kernel_order: bool = False):
+    """kernel-format VQ words -> W^T (k, m) bf16.
+
+    kernel_order=True: rows stay in the kernel's scratch order (the
+    vq_x_perm order); columns are natural m either way."""
     P = k // vec
     kb = _pick_kb(P, bits)
     bm = _pick_width(m)
@@ -1002,6 +1216,8 @@ def vq_dequant(qw_t, lut, bits: int, vec: int, m: int, k: int):
         compiler_params=_cparams(),
         interpret=_interpret(),
     )(qw_t, tabs)
+    if kernel_order:
+        return out
     # rows are in the kernel's scratch order (v, comp, s) per kb-block —
     # invert the vq_x_perm permutation: orig col (blk*kb + v + kb/8*s)*vec+c
     nblk = k // (kb * vec)
@@ -1041,6 +1257,115 @@ def dequant_weight_kernelfmt(spec, p, luts):
     if spec.kind == "vq":
         return vq_dequant(p["qweight_t"], p["clut"], spec.bits, spec.vec,
                           m, n)
+    raise ValueError(spec.kind)
+
+
+# ---------------------------------------------------------------------------
+# large-row dequant-then-matmul (reference bs>8 fallback,
+# lib/linear/tcq_linear.py:75-84): dequantize ONCE into the kernel-order
+# layout — contiguous block stores, ZERO weight-side relayout (the natural-
+# order fixup is a fine-grained (16, wm) transpose that ran ~100x slower
+# than the stream, round-4 STATUS weak #1) — and ride the MXU; the cheap
+# sides (activation columns, output columns) absorb the permutations as
+# pure reshape/transposes.
+# ---------------------------------------------------------------------------
+
+def _zp_v2(zb, n, dense_odd):
+    N = zb.shape[0]
+    if dense_odd:  # rows (p, half, r, h) per 32-col double-tile group
+        return (zb.reshape(N, n // 32, 2, 4, 2, 2)
+                .transpose(0, 1, 4, 5, 3, 2).reshape(N, n))
+    # rows (half, t) per 16-col tile
+    return zb.reshape(N, n // 16, 8, 2).transpose(0, 1, 3, 2).reshape(N, n)
+
+
+def _zp_v1(zb, n, dense_odd):
+    N = zb.shape[0]
+    if dense_odd:  # rows (p, r, h) per 32-col double-tile group
+        return (zb.reshape(N, n // 32, 2, 8, 2)
+                .transpose(0, 1, 4, 3, 2).reshape(N, n))
+    return zb
+
+
+def _zp_tcq(zb, n):
+    """within-tile (c, s) row order — same as the fused kernel's x perm."""
+    N = zb.shape[0]
+    return zb.reshape(N, n // 16, 8, 2).transpose(0, 1, 3, 2).reshape(N, n)
+
+
+def _y_unblock(y, m):
+    """columns (gm-block, m-row-in-tile, mcol) -> natural m."""
+    N = y.shape[0]
+    wm = _pick_width(m // 16, candidates=(128, 64))
+    gm = (m // 16) // wm
+    return y.reshape(N, gm, 16, wm).transpose(0, 1, 3, 2).reshape(N, m)
+
+
+def _dot_v16(zp, w3):
+    """zp (N, k) x raw tcq layout w3 (16, k, mt) -> natural (N, m)."""
+    y = jax.lax.dot_general(zp, w3, (((1,), (1,)), ((), ())),
+                            preferred_element_type=ACC)  # (N, 16, mt)
+    N, v, mt = y.shape
+    return y.transpose(0, 2, 1).reshape(N, v * mt)
+
+
+def dequant_matmul(spec, p, z, luts):
+    """z (N, in) -> (N, out) f32 via kernel-order dequant + plain MXU dot
+    (no Wscale epilogue — qlinear_apply applies it)."""
+    from qpalette_tpu.kernels.formats import planar_dense_odd
+    m, n = spec.out_features, spec.in_features
+    zb = z.astype(DDT)
+    if spec.kind == "tcq1":
+        dodd = planar_dense_odd(spec.KV[0], n)
+        w = tcq1_dequant(p["trellis_pl"], spec.KV[0], m, n, mode=spec.mode,
+                         kernel_order=True)
+        y = jax.lax.dot_general(_zp_v1(zb, n, dodd), w,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=ACC)
+        return _y_unblock(y, m)
+    if spec.kind == "tcq2":
+        dodd = planar_dense_odd(spec.KV[0], n)
+        w = tcq2_dequant(p["trellis_pl"], spec.KV[0], m, n, mode=spec.mode,
+                         kernel_order=True)
+        y = jax.lax.dot_general(_zp_v2(zb, n, dodd), w,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=ACC)
+        return _y_unblock(y, m)
+    if spec.kind == "tcq":
+        w3 = tcq_dequant(p["trellis_kt"], p["clut"], spec.KV[0],
+                         spec.tlut_bits, m, n, kernel_order=True)
+        return _dot_v16(_zp_tcq(zb, n), w3)
+    if spec.kind == "tcomb":
+        if "trellisc_kt" in p:
+            w3 = tcomb_dequant(p["trellisc_kt"], p["clut"], spec.KV[0],
+                               spec.KV[1], spec.tlut_bits, m, n,
+                               kernel_order=True)
+            return _dot_v16(_zp_tcq(zb, n), w3)
+        n1, n2 = spec.split
+        w1 = tcq_dequant(p["trellis1_kt"], p["clut"], spec.KV[0],
+                         spec.tlut_bits, m, n1, kernel_order=True)
+        w2 = tcq_dequant(p["trellis2_kt"], p["clut"], spec.KV[1],
+                         spec.tlut_bits, m, n2, kernel_order=True)
+        return (_dot_v16(_zp_tcq(zb[:, :n1], n1), w1)
+                + _dot_v16(_zp_tcq(zb[:, n1:], n2), w2))
+    if spec.kind == "comb":
+        m1, m2 = spec.split
+        w1 = tcq_dequant(p["trellis1_kt"], p["clut"], spec.KV[0],
+                         spec.tlut_bits, m1, n, kernel_order=True)
+        w2 = tcq_dequant(p["trellis2_kt"], p["clut"], spec.KV[1],
+                         spec.tlut_bits, m2, n, kernel_order=True)
+        zp = _zp_tcq(zb, n)
+        return jnp.concatenate([_dot_v16(zp, w1), _dot_v16(zp, w2)],
+                               axis=1)
+    if spec.kind == "vq":
+        from qpalette_tpu.kernels.formats import vq_x_perm
+        P_ = n // spec.vec
+        kb = _pick_kb(P_, spec.bits)
+        w = vq_dequant(p["qweight_t"], p["clut"], spec.bits, spec.vec,
+                       m, n, kernel_order=True)
+        zp = vq_x_perm(zb, spec.vec, kb)
+        return jax.lax.dot_general(zp, w, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=ACC)
     raise ValueError(spec.kind)
 
 

@@ -89,6 +89,15 @@ def _scale_linear_spec(lspec, tp: int, row: bool):
                               "dense_rot"), \
             f"row-parallel unsupported for split scheme {lspec.kind}"
         assert lspec.in_features % tp == 0
+        if lspec.kind in ("tcq1", "tcq2") and lspec.KV[0] % 2 == 1:
+            # dense odd-KV double-tile layout: each shard's k-tile count
+            # must stay even so the local kernel reads the same layout the
+            # global pack used (formats.planar_dense_odd)
+            from qpalette_tpu.kernels.formats import planar_dense_odd
+            if planar_dense_odd(lspec.KV[0], lspec.in_features):
+                assert (lspec.in_features // tp // 16) % 2 == 0, (
+                    f"odd-KV row-parallel needs (k/tp)/16 even "
+                    f"(k={lspec.in_features}, tp={tp})")
         if lspec.kind == "vq":
             # packed word rows (k-major) must split evenly over tp
             nwords8 = lspec.in_features // lspec.vec * lspec.bits // 32 // 8
@@ -177,9 +186,15 @@ def param_pspecs(spec: ModelSpec, params, axis: str = "tp"):
 
     pspecs = {"layers": [layer_specs(lp) for lp in params["layers"]],
               "luts": {k: P() for k in params.get("luts", {})}}
-    for k in ("embed", "lm_head", "ln_f"):
+    # replicated lm_head variants: bf16 (lm_head), int8 (lm_head_q/_s) and
+    # 4-bit trellis (lm_head_q4 leaf dict) — all small relative to the
+    # decoder stack; shard later if profiling demands
+    for k in ("embed", "lm_head", "ln_f", "lm_head_q", "lm_head_s",
+              "lm_head_su"):
         if k in params:
             pspecs[k] = P()
+    if "lm_head_q4" in params:
+        pspecs["lm_head_q4"] = {leaf: P() for leaf in params["lm_head_q4"]}
     return pspecs
 
 

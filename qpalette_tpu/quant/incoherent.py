@@ -146,6 +146,10 @@ def quantize_linear(W, quantizer_str: str, SU=None, H=None,
     else:
         cb_rms = 1.0
     row_rms = jnp.sqrt(jnp.mean(Wr.astype(jnp.float64) ** 2, axis=1))
+    # all-zero rows (e.g. lm_head vocab padding) would give Wscale=0 and
+    # Wr/Wscale = 0/0 = NaN, poisoning artifact meta err/kurtosis — clamp
+    # to a benign scale (the quantizer then codes exact zeros for the row)
+    row_rms = jnp.maximum(row_rms, 1e-8)
     Wscale = (row_rms / (cb_rms * spec.scale_override)).astype(jnp.float32)
     Wr = Wr / Wscale[:, None]
 

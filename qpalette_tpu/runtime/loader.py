@@ -620,9 +620,18 @@ def build_quantized_model(cfg: LlamaConfig, qdict, merge_info=None,
             w = np.pad(w, ((0, VP - w.shape[0]), (0, 0)))
             path = artifact_path(save_dir, model_key, seed, qstr_lm,
                                  999, "lm_head")
+            art = None
             if os.path.exists(path):
                 art = load_artifact(path)
-            else:
+                # same rotation version check as _get_artifact: a cached
+                # lm_head quantized against different Hadamard factors
+                # would silently decode against a mismatched rotation
+                from qpalette_tpu.ops.hadamard import get_had_factors
+                if list(art["meta"].get("had_factors", [])) != \
+                        list(get_had_factors(h)):
+                    os.remove(path)
+                    art = None
+            if art is None:
                 art = quantize_linear(w, qstr_lm, SU=su, seed=seed)
                 save_artifact(art, path)
         params.pop("lm_head", None)

@@ -91,12 +91,21 @@ def can_fuse_rot(spec: LinearSpec, rows: int, rot_blocks: int = 1) -> bool:
     else:
         return False
     from qpalette_tpu.ops.hadamard import get_had_factors
-    return len(get_had_factors(spec.in_features // rot_blocks)) <= 2
+    facs = get_had_factors(spec.in_features // rot_blocks)
+    if len(facs) > 2:
+        return False
+    from qpalette_tpu.kernels.formats import planar_dense_odd
+    if planar_dense_odd(spec.KV[0], spec.in_features):
+        # the dense odd-KV byte-row permutation folds into the rotation's
+        # last Kronecker factor only if 32-col double-tile groups align
+        # with that factor's column blocks
+        return facs[-1] % 32 == 0
+    return True
 
 
 def qlinear_apply(spec: LinearSpec, p: dict, z: jax.Array,
                   luts: Optional[dict] = None,
-                  pre_rot=None) -> jax.Array:
+                  pre_rot=None, out_dtype=None) -> jax.Array:
     """z (rows, in_features) — already incoherence-rotated — -> (rows, out).
 
     pre_rot=(su, rot_blocks): z is UN-rotated and the rotation is fused
@@ -104,7 +113,11 @@ def qlinear_apply(spec: LinearSpec, p: dict, z: jax.Array,
     otherwise it is applied here explicitly (same math either way).
 
     Applies the per-row Wscale epilogue (reference incoherent_linear.py:495).
+    out_dtype overrides the output dtype (default: z's dtype) — the
+    quantized lm_head passes f32 so final logits skip the bf16 round-trip
+    the decoder layers want (matching the int8 head's f32 epilogue).
     """
+    odt = out_dtype or z.dtype
     if pre_rot is not None and not can_fuse_rot(spec, z.shape[0],
                                                 pre_rot[1]):
         from qpalette_tpu.ops.hadamard import hadamard_transform_t
@@ -116,14 +129,14 @@ def qlinear_apply(spec: LinearSpec, p: dict, z: jax.Array,
         w = p["w"]
         return jax.lax.dot_general(
             z, w, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(z.dtype)
+            preferred_element_type=jnp.float32).astype(odt)
     if spec.kind == "dense_rot":
         # rotated-dense baseline (QuaRot-style): full-precision weights in
         # the rotated space, same Wscale epilogue as quantized layers
         y = jax.lax.dot_general(
             z, p["w"], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        return (y * p["wscale"][None, :].astype(jnp.float32)).astype(z.dtype)
+        return (y * p["wscale"][None, :].astype(jnp.float32)).astype(odt)
     # fused decode+matmul cutoff: the reference splits at bs<=8
     # (tcq_linear.py:64-84) because its SIMT GEMV is row-serial; the TPU
     # arithmetic-trellis kernels feed an MXU dot whose M dimension is the
@@ -136,14 +149,14 @@ def qlinear_apply(spec: LinearSpec, p: dict, z: jax.Array,
         from qpalette_tpu.kernels import fused
         y = fused.decode_matmul(spec, p, z, luts, pre_rot=pre_rot)
     elif spec.impl in ("pallas", "pallas_a8"):
+        # large-row fallback: kernel-order dequant once + MXU matmul; the
+        # activation/output sides absorb the layout permutations (the
+        # natural-order weight relayout was ~100x slower than the stream)
         from qpalette_tpu.kernels import fused
-        w = fused.dequant_weight_kernelfmt(spec, p, luts).astype(z.dtype)
-        y = jax.lax.dot_general(
-            z, w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        y = fused.dequant_matmul(spec, p, z, luts)
     else:
         w = dequant_weight(spec, p, luts).astype(z.dtype)
         y = jax.lax.dot_general(
             z, w, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-    return (y * p["wscale"][None, :].astype(jnp.float32)).astype(z.dtype)
+    return (y * p["wscale"][None, :].astype(jnp.float32)).astype(odt)

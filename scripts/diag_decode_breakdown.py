@@ -132,8 +132,8 @@ def main():
     from qpalette_tpu.kernels.fused import int8_gemv_a8
     # vocab PADDED to a 2048 multiple exactly as the loader packs it —
     # the unpadded 128256 forces bm=256 (501x8 grid steps, ~2.6 ms!)
-    # while the padded 130048 gets bm=2048 (63x8 steps)
-    V, Hd = 130048, 4096
+    # while the loader's padded 129024 gets bm=2048 (63x8 steps)
+    V, Hd = 129024, 4096  # loader's padded vocab: 128256 -> next 2048-multiple
     wq = jnp.zeros((Hd, V), jnp.int8)
     sc = jnp.ones((1, V), jnp.float32)
     x = jnp.zeros((1, Hd), jnp.bfloat16)

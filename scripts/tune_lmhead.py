@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Sweep int8_gemv_a8 block params at the padded lm_head shape
-(4096 x 130048).  Current fixed choice bm=2048/bk=512 = 63x8 = 504 grid
+(4096 x 129024, the loader's padded vocab).  Current fixed choice bm=2048/bk=512 = 63x8 = 504 grid
 steps; wider bk halves the step count."""
 import itertools
 import sys
@@ -20,7 +20,7 @@ import proto_fold
 proto_fold.REPS_LO, proto_fold.REPS_HI = 100, 400
 from proto_fold import timeit
 
-V, Hd = 130048, 4096
+V, Hd = 129024, 4096  # loader's padded vocab: 128256 -> next 2048-multiple
 
 
 @functools.partial(jax.jit, static_argnames=("bm", "bk"))

@@ -301,7 +301,8 @@ def test_a8_path_close_to_exact(v2):
 def test_tcq2_sum2_kernel_matches_reference(KV):
     """sum2 decode (one scramble per pair, 2 int8/weight MXU feed) ==
     executable-spec decode; KV=6 exercises the DENSE planar layout
-    (true 3 bits/weight, sublane-roll carry), KV=7 the aligned one."""
+    (true 3 bits/weight, sublane-roll carry), KV=7 the dense odd-KV
+    double-tile layout (true 3.5 bits/weight)."""
     from qpalette_tpu.ops.codebooks import trellis_lut_arith
     m, k = 64, 128
     rng = np.random.default_rng(40 + KV)
@@ -380,3 +381,66 @@ def test_tcq1_dense_layout_matches_reference():
                                             KV, "1mad", m, k))
     rel = np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-9)
     assert rel < 0.03, rel
+
+
+def test_dense_odd_layout_sizes():
+    """Odd KV with an even tile count uses the DOUBLE-TILE dense layout:
+    stored words = exactly KV/2 bits/weight (V=2) / KV (V=1) — the layout
+    the solver's nominal-bit memory model assumes (round-4 VERDICT #3)."""
+    m, k = 64, 128
+    for KV in (5, 7, 9):
+        assert kf.planar_dense_odd(KV, k)
+        words = np.zeros(((m // 16) * (k // 16), 4 * KV), np.uint32)
+        tr = kf.tcq2_planar_weights(jnp.asarray(words), m, k, KV)
+        assert tr.shape == (k // 32, KV * 8, m // 16)
+        assert tr.size * 4 * 8 == m * k * KV / 2  # bits == nominal
+        words1 = np.zeros(((m // 16) * (k // 16), 8 * KV), np.uint32)
+        tr1 = kf.tcq1_planar_weights(jnp.asarray(words1), m, k, KV)
+        assert tr1.shape == (k // 32, KV * 16, m // 16)
+        assert tr1.size * 4 * 8 == m * k * KV
+    # odd tile count keeps the aligned fallback
+    assert not kf.planar_dense_odd(5, 16)
+
+
+@pytest.mark.parametrize("KV,mode", [(5, "sum2"), (5, "dualmad")])
+def test_dense_odd_dequant_matmul_large_rows(KV, mode):
+    """Large-row kernel-order dequant+matmul == executable spec for the
+    dense odd-KV layout (the ctx-8192 / serving-admission path)."""
+    from qpalette_tpu.kernels.fused import dequant_matmul
+    from qpalette_tpu.runtime.qlinear import LinearSpec
+    from qpalette_tpu.ops.codebooks import trellis_lut_arith
+    m, k = 64, 128
+    rng = np.random.default_rng(50 + KV)
+    ntiles = (m // 16) * (k // 16)
+    words = rng.integers(0, 1 << 32, (ntiles, 4 * KV), dtype=np.uint32)
+    lut = trellis_lut_arith(mode)
+    W = packing.dequant_tcq2(jnp.asarray(words), jnp.asarray(lut), m, k, KV)
+    x = jnp.asarray(rng.standard_normal((16, k)).astype(np.float32))
+    y_ref = np.asarray(x.astype(jnp.bfloat16).astype(jnp.float32) @ W.T)
+    tr_pl = kf.tcq2_planar_weights(jnp.asarray(words), m, k, KV)
+    spec = LinearSpec("tcq2", in_features=k, out_features=m, KV=(KV,),
+                      mode=mode, impl="pallas")
+    y = np.asarray(dequant_matmul(spec, {"trellis_pl": tr_pl},
+                                  x.astype(jnp.bfloat16), {}))
+    rel = np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-9)
+    assert rel < 0.03, rel
+
+
+def test_dense_odd_fused_rotation_prologue():
+    """Fused-rotation prologue with the dense odd-KV byte-row permutation
+    folded into the Hadamard factor == explicit rotate-then-decode."""
+    from qpalette_tpu.ops.hadamard import hadamard_transform_t
+    KV, m, k = 5, 64, 256
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.standard_normal((1, k)), jnp.float32) \
+        .astype(jnp.bfloat16)
+    su = jnp.asarray((rng.standard_normal(k) > 0) * 2.0 - 1.0, jnp.float32)
+    z = hadamard_transform_t(x * su.astype(x.dtype)).astype(jnp.bfloat16)
+    words = rng.integers(0, 1 << 32, ((m // 16) * (k // 16), 4 * KV),
+                         dtype=np.uint32)
+    trpl = kf.tcq2_planar_weights(jnp.asarray(words), m, k, KV)
+    ref = fused.tcq2_decode_matmul(z, trpl, KV, m, k, mode="sum2")
+    got = fused.tcq2_decode_matmul(x, trpl, KV, m, k, mode="sum2", su=su)
+    rel = np.abs(np.asarray(got) - np.asarray(ref)).max() \
+        / (np.abs(np.asarray(ref)).max() + 1e-9)
+    assert rel < 1e-4, rel
