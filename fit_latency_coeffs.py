@@ -32,9 +32,11 @@ import numpy as np
 # merges the logs).
 SAMPLE_GROUPS = os.environ.get("QPT_FIT_GROUPS",
                                "q,qkv,o,ug,d").split(",")
-SAMPLE_QS = ["tcq1_3_none_0.9", "tcq1_4_none_0.9", "tcq2_6_none_0.9",
-             "tcq2_8_none_0.9", "tcq2s_6_none_0.9", "tcq2s_8_none_0.9",
-             "tcq_6_none_0.9", "ldlq_1_4_none_1.0", "ldlq_2_6_none_1.0"]
+SAMPLE_QS = (os.environ["QPT_FIT_QS"].split(",")
+             if os.environ.get("QPT_FIT_QS") else
+             ["tcq1_3_none_0.9", "tcq1_4_none_0.9", "tcq2_6_none_0.9",
+              "tcq2_8_none_0.9", "tcq2s_6_none_0.9", "tcq2s_8_none_0.9",
+              "tcq_6_none_0.9", "ldlq_1_4_none_1.0", "ldlq_2_6_none_1.0"])
 
 
 def main():

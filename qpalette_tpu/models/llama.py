@@ -91,6 +91,11 @@ class AttnSpec:
     merge: Optional[str]
     projs: tuple  # tuple[(name, LinearSpec)], e.g. (("qkv", spec), ("o", o))
     rot_blocks_o: int = 1
+    # >0: the o_proj input is BLOCK-PERMUTED before rotation (tp-aware
+    # tcomb quantization: blocks [0,2,..,1,3,..] of width n/in_perm_o so
+    # every tensor-parallel shard's contiguous slice holds equal KV1/KV2
+    # pieces; see parallel/tp.py).  0 = identity.
+    in_perm_o: int = 0
 
 
 @dataclass(frozen=True)
@@ -98,6 +103,7 @@ class MLPSpec:
     merge_ug: bool
     projs: tuple  # (("ug"|"up","gate"), ("down", spec))
     rot_blocks_down: int = 1
+    in_perm_down: int = 0  # see AttnSpec.in_perm_o
 
 
 @dataclass(frozen=True)
@@ -148,6 +154,18 @@ def _rotate_in(x: jax.Array, su: jax.Array, blocks: int = 1) -> jax.Array:
 
     blocks > 1 = block-diagonal rotation for row-parallel layers (rcp)."""
     return hadamard_transform_t(x * su, blocks=blocks).astype(x.dtype)
+
+
+def _block_perm_in(z: jax.Array, nblocks: int) -> jax.Array:
+    """tp-aware tcomb input permutation (AttnSpec.in_perm_o): original
+    column blocks [0,2,4,...,1,3,5,...] of width n/nblocks — the layer was
+    quantized against W[:, π] so each tensor-parallel shard's contiguous
+    activation slice carries one KV1 and one KV2 piece.  Pure
+    reshape/transpose."""
+    N, n = z.shape
+    tp = nblocks // 2
+    return (z.reshape(N, tp, 2, n // nblocks).transpose(0, 2, 1, 3)
+            .reshape(N, n))
 
 
 _FLASH_MIN_CELLS = 1 << 22  # S*T above this -> blockwise attention
@@ -344,11 +362,14 @@ def attn_forward(spec: AttnSpec, cfg: LlamaConfig, p: dict, x: jax.Array,
     qw = att.shape[-1]  # heads*head_dim (local width under tp)
     oname, ospec = spec.projs[-1]
     assert oname == "o"
+    z_o = att.reshape(-1, qw)
+    if spec.in_perm_o:
+        z_o = _block_perm_in(z_o, spec.in_perm_o)
     if rotated:  # single projection: rotation fused (or applied inside)
-        out = qlinear_apply(ospec, p["o"], att.reshape(-1, qw), luts,
+        out = qlinear_apply(ospec, p["o"], z_o, luts,
                             pre_rot=(p["su_o"], spec.rot_blocks_o))
     else:
-        out = qlinear_apply(ospec, p["o"], att.reshape(-1, qw), luts)
+        out = qlinear_apply(ospec, p["o"], z_o, luts)
     out = out.reshape(B, S, N)
     if tp_axis is not None:  # row-parallel o_proj partial sums
         out = jax.lax.psum(out, tp_axis)
@@ -376,6 +397,8 @@ def mlp_forward(spec: MLPSpec, cfg: LlamaConfig, p: dict, x: jax.Array,
         gate = qlinear_apply(g_spec, p["gate"], z, luts)
     h = jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)
     h = h.astype(x.dtype)
+    if spec.in_perm_down:
+        h = _block_perm_in(h, spec.in_perm_down)
     if rotated:
         out = qlinear_apply(d_spec, p["down"], h, luts,
                             pre_rot=(p["su_dp"], spec.rot_blocks_down))

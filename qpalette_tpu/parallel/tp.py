@@ -30,11 +30,19 @@ a plain PartitionSpec over the tile axis is correct and the local forward's
 split points (local hs / kv widths) line up.  This realizes the row-concat
 merge semantics of the reference (tcq_linear.merge_infos) under sharding.
 
+Input-split tcomb (the 3.25-bit quality flagship's scheme) IS row-parallel
+shardable: the loader quantizes o/down-tcomb against the block-permuted
+W[:, π] (in_perm_blocks = 2·tp, π = original blocks [0,2,...,1,3,...]) so
+each shard's contiguous activation slice holds one KV1 and one KV2 piece;
+placement interleaves the packed k-tiles shard-major
+(shard_interleave_tcomb_rows) and each shard runs a local tcomb with
+in_part/tp and a 2-block local rotation.  Output-split comb shards
+natively (both output halves see the full k split).
+
 Constraints (asserted): heads, kv-heads and intermediate divisible by tp
-(and each merged part's tile count by tp); o/down must use non-split
-schemes (tcq/tcq1/tcq2/vq/dense — the input-split tcomb would straddle
-shard boundaries; the planar tcq1/tcq2 layouts split cleanly on k-tile
-boundaries because every 16×16 tile's bitstream is self-contained).
+(and each merged part's tile count by tp); the planar tcq1/tcq2 layouts
+split cleanly on k-tile boundaries because every 16×16 (or 16×32
+dense-odd double-) tile's bitstream is self-contained.
 """
 
 from __future__ import annotations
@@ -86,9 +94,17 @@ def _scale_linear_spec(lspec, tp: int, row: bool):
     d = dataclasses.asdict(lspec)
     if row:
         assert lspec.kind in ("tcq", "tcq1", "tcq2", "vq", "dense",
-                              "dense_rot"), \
-            f"row-parallel unsupported for split scheme {lspec.kind}"
+                              "dense_rot", "tcomb", "comb"), \
+            f"row-parallel unsupported for scheme {lspec.kind}"
         assert lspec.in_features % tp == 0
+        if lspec.kind == "tcomb":
+            # input-split halves shard together: the layer was quantized
+            # in the tp-aware block-permuted space (loader in_perm_blocks)
+            # and placement interleaves the packed k-tiles shard-major, so
+            # each shard runs a local tcomb with in_part/tp
+            n1, n2 = lspec.split
+            assert n1 % (16 * tp) == 0 and n2 % (16 * tp) == 0, (n1, n2, tp)
+            d["split"] = (n1 // tp, n2 // tp)
         if lspec.kind in ("tcq1", "tcq2") and lspec.KV[0] % 2 == 1:
             # dense odd-KV double-tile layout: each shard's k-tile count
             # must stay even so the local kernel reads the same layout the
@@ -128,8 +144,10 @@ def localize_spec(spec: ModelSpec, tp: int, axis: str = "tp") -> ModelSpec:
                                intermediate_size=cfg.intermediate_size // tp)
     layers = []
     for aspec, mspec in spec.layers:
-        assert aspec.rot_blocks_o == tp and mspec.rot_blocks_down == tp, (
+        assert aspec.rot_blocks_o % tp == 0 and \
+            mspec.rot_blocks_down % tp == 0, (
             "row-parallel layers must be quantized with rot_blocks=tp "
+            "(2*tp for input-split tcomb) "
             f"(got o={aspec.rot_blocks_o}, down={mspec.rot_blocks_down})")
         aprojs = tuple(
             (nm, _scale_linear_spec(ls, tp, row=(nm == "o")))
@@ -137,11 +155,16 @@ def localize_spec(spec: ModelSpec, tp: int, axis: str = "tp") -> ModelSpec:
         mprojs = tuple(
             (nm, _scale_linear_spec(ls, tp, row=(nm == "down")))
             for nm, ls in mspec.projs)
-        # local rotation = full Hadamard of the local shard width; merged
-        # projections stay merged (shard_tp_params pre-permutes their
-        # m-tiles so each shard's [q_s|k_s|v_s] rows are contiguous)
-        layers.append((AttnSpec(aspec.merge, aprojs, rot_blocks_o=1),
-                       MLPSpec(mspec.merge_ug, mprojs, rot_blocks_down=1)))
+        # local rotation = full Hadamard of the local shard width (2
+        # blocks for tcomb's per-shard KV1/KV2 pieces); the global
+        # in_perm block permutation is identity locally — each shard's
+        # contiguous slice already arrives [KV1 piece | KV2 piece]
+        layers.append((AttnSpec(aspec.merge, aprojs,
+                                rot_blocks_o=aspec.rot_blocks_o // tp,
+                                in_perm_o=0),
+                       MLPSpec(mspec.merge_ug, mprojs,
+                               rot_blocks_down=mspec.rot_blocks_down // tp,
+                               in_perm_down=0)))
     return ModelSpec(lcfg, tuple(layers), tp_axis=axis)
 
 
@@ -150,8 +173,12 @@ def _leaf_pspec(proj: str, leaf: str, ndim: int, axis: str) -> P:
     row = proj in ROW_PROJS
     if leaf == "wscale":
         return P() if row else P(axis)
-    if leaf in ("trellis_kt", "trellis1_kt", "trellis2_kt", "trellis_pl"):
-        # (k/16, words, m/16): row-parallel shards k-tiles, col shards m
+    if leaf in ("trellis_kt", "trellis1_kt", "trellis2_kt", "trellis_pl",
+                "trellisc_kt"):
+        # (k/16, words, m/16): row-parallel shards k-tiles, col shards m.
+        # Row-parallel trellisc_kt (tcomb) additionally requires the
+        # shard-major k-tile interleave applied at placement time
+        # (shard_interleave_tcomb_rows).
         return P(axis, None, None) if row else P(None, None, axis)
     if leaf == "qweight_t":
         # (8, words-over-k, m)
@@ -238,10 +265,39 @@ def shard_interleave_merged(params, spec: ModelSpec, tp: int):
     return dict(params, layers=out_layers)
 
 
+def shard_interleave_tcomb_rows(params, spec: ModelSpec, tp: int):
+    """Row-parallel input-split tcomb: reorder the packed k-tiles (and the
+    permuted-space SU vector) shard-major so a plain PartitionSpec over
+    the k-tile axis gives each shard its [KV1-slice | KV2-slice] rows —
+    matching the contiguous activation slice order the loader's
+    in_perm_blocks quantization arranged (reference rcp semantics for the
+    split schemes, bitshift.py:374-388)."""
+    out_layers = []
+    for lp, (aspec, mspec) in zip(params["layers"], spec.layers):
+        nlp = dict(lp)
+        for proj, su_key, perm in (("o", "su_o", aspec.in_perm_o),
+                                   ("down", "su_dp", mspec.in_perm_down)):
+            if not perm or proj not in nlp:
+                continue
+            pp = dict(nlp[proj])
+            if "trellisc_kt" in pp:  # fused one-kernel tcomb layout;
+                # the two-array split layout shards each half natively
+                kt = pp["trellisc_kt"].shape[0]
+                pk = _shard_interleave([kt // 2, kt // 2], tp)
+                pp["trellisc_kt"] = pp["trellisc_kt"][pk]
+            n = nlp[su_key].shape[0]
+            pe = _shard_interleave([n // 2, n // 2], tp)
+            nlp[su_key] = nlp[su_key][pe]
+            nlp[proj] = pp
+        out_layers.append(nlp)
+    return dict(params, layers=out_layers)
+
+
 def shard_tp_params(params, spec: ModelSpec, mesh: Mesh, axis: str = "tp"):
     tp = mesh.shape[axis]
     if tp > 1:
         params = shard_interleave_merged(params, spec, tp)
+        params = shard_interleave_tcomb_rows(params, spec, tp)
     pspecs = param_pspecs(spec, params, axis)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),

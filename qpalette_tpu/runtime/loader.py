@@ -354,16 +354,37 @@ def dummy_artifact(qstr: str, shape, seed: int = 0) -> dict:
 # ---------------------------------------------------------------------------
 
 def _get_artifact(cfg, model_key, layer, key, qstr, save_dir, seed,
-                  dense_w=None, dummy=False, rot_blocks=1, H=None):
+                  dense_w=None, dummy=False, rot_blocks=1, H=None,
+                  in_perm_blocks=0):
+    """in_perm_blocks > 0 (row-parallel tcomb): quantize against the
+    block-permuted W[:, π] (π = original blocks [0,2,...,1,3,...] of
+    width n/in_perm_blocks) so each tensor-parallel shard's contiguous
+    input slice holds one KV1 and one KV2 piece; SU and H permuted to
+    match.  The runtime applies the same permutation to the activation
+    (models/llama._block_perm_in)."""
     if dummy:
-        art = dummy_artifact(qstr, proj_shape(cfg, key),
-                             seed=abs(hash((layer, key))) % (1 << 31))
+        import zlib
+        # stable across processes (Python's str hash is per-process
+        # salted, which broke multi-host dummy-weight agreement)
+        dseed = zlib.crc32(f"{layer}_{key}".encode()) % (1 << 31)
+        art = dummy_artifact(qstr, proj_shape(cfg, key), seed=dseed)
         # dummy mode must still share SU within each rotation group so
         # merged projections remain constructible
         art["SU"] = su_for(cfg, layer, key, seed)
         art["meta"]["rot_blocks"] = rot_blocks
+        art["meta"]["in_perm_blocks"] = in_perm_blocks
         return art
     qdir = qstr if rot_blocks == 1 else f"{qstr}__rb{rot_blocks}"
+    if in_perm_blocks:
+        qdir += f"__perm{in_perm_blocks}"
+        n_full = proj_shape(cfg, key)[1]
+        pb = in_perm_blocks
+        pi = (np.arange(n_full).reshape(pb // 2, 2, n_full // pb)
+              .transpose(1, 0, 2).reshape(-1))
+        if dense_w is not None:
+            dense_w = np.asarray(dense_w)[:, pi]
+        if H is not None:
+            H = np.asarray(H)[pi][:, pi]
     path = artifact_path(save_dir, model_key, seed, qdir, layer, key)
     if os.path.exists(path):
         art = load_artifact(path)
@@ -394,8 +415,11 @@ def _get_artifact(cfg, model_key, layer, key, qstr, save_dir, seed,
     assert dense_w is not None, (
         f"artifact missing and no dense weights to quantize: {path}")
     su = su_for(cfg, layer, key, seed)
+    if in_perm_blocks:
+        su = su[pi]
     art = quantize_linear(dense_w, qstr, SU=su, H=H, seed=seed,
                           rot_blocks=rot_blocks)
+    art["meta"]["in_perm_blocks"] = in_perm_blocks
     save_artifact(art, path)
     return art
 
@@ -465,18 +489,27 @@ def build_quantized_model(cfg: LlamaConfig, qdict, merge_info=None,
         # (parallel/tp.shard_interleave_merged)
         arts = {}
         impls = {}
+        perms = {}
         for key in LAYER_KEYS:
             qs, impl_k = qstr_for(i, key)
             impls[key] = impl_k
-            rb = row_parallel_tp if key in (
-                "self_attn.o_proj", "mlp.down_proj") else 1
+            rb, pb = 1, 0
+            if key in ("self_attn.o_proj", "mlp.down_proj"):
+                rb = row_parallel_tp
+                if row_parallel_tp > 1 and qs.startswith("tcomb"):
+                    # input-split tcomb: quantize in the block-permuted
+                    # space so each shard's slice holds both KV halves;
+                    # rotation blocks halve to the KV-piece width
+                    pb = 2 * row_parallel_tp
+                    rb = pb
+            perms[key] = pb
             from qpalette_tpu.quant.hessian import HESSKEY
             Hk = hess.get(f"{i}_{HESSKEY[key]}") if hess else None
             arts[key] = _get_artifact(
                 cfg, model_key, i, key, qs, save_dir, seed,
                 dense_w=None if dense_params is None
                 else dense_params["layers"][i][key], dummy=dummy,
-                rot_blocks=rb, H=Hk)
+                rot_blocks=rb, H=Hk, in_perm_blocks=pb)
 
         def group_impl(*keys):
             """Per-layer impl for a (possibly merged) projection group;
@@ -567,10 +600,14 @@ def build_quantized_model(cfg: LlamaConfig, qdict, merge_info=None,
             lp["ln_mlp"] = jnp.ones((cfg.hidden_size,), dtype)
 
         layers_params.append(lp)
+        rb_o = perms[KO] or row_parallel_tp
+        rb_d = perms[KD] or row_parallel_tp
         layer_specs.append((AttnSpec(merge_attn, tuple(attn_projs),
-                                     rot_blocks_o=row_parallel_tp),
+                                     rot_blocks_o=rb_o,
+                                     in_perm_o=perms[KO]),
                             MLPSpec(merge_ug, tuple(mlp_projs),
-                                    rot_blocks_down=row_parallel_tp)))
+                                    rot_blocks_down=rb_d,
+                                    in_perm_down=perms[KD])))
 
     cfg_nl = cfg if nl == cfg.num_layers else \
         LlamaConfig(**{**cfg.__dict__, "num_layers": nl})

@@ -11,14 +11,22 @@ solver-schema table (measured entries verbatim, everything else from the
 fit).  Usage: assemble_lat_table.py LOG [LOG...]
 """
 import json
+import os
 import re
 import sys
 
 sys.path.insert(0, "/root/repo")
 
 
+STALE_OLD_LOG_QS = ("tcq1_3", "tcq1_5")  # odd-KV tcq1: measured under the
+# pre-round-5 ALIGNED layout (4 b/w at KV=3); the dense odd-KV layout
+# changed the stream, so pre-r5 samples for them are upper bounds only.
+OLD_LOGS = ("/tmp/fit_lat.log", "/tmp/fit_lat2.log", "/tmp/fit_lat3.log")
+
+
 def main():
-    logs = sys.argv[1:] or ["/tmp/fit_lat2.log", "/tmp/fit_lat.log"]
+    logs = sys.argv[1:] or ["/tmp/fit_lat_d_r5.log", "/tmp/fit_lat3.log",
+                            "/tmp/fit_lat2.log", "/tmp/fit_lat.log"]
     from qpalette_tpu.runtime.loader import CONFIGS
     from qpalette_tpu.msq.latmodel import (fit_family_model, family_of,
                                            packed_bytes, build_lat_table)
@@ -32,11 +40,12 @@ def main():
         r"\s*(-?[\d.]+) us")
 
     measured, measured_alt = {}, {}
-    for lg in logs:
+    for lg in logs:  # earlier logs in argv win (newest first)
         try:
             text = open(lg).read()
         except OSError:
             continue
+        stale = STALE_OLD_LOG_QS if lg in OLD_LOGS else ()
         for line in text.splitlines():
             m = pat.match(line.strip())
             if not m:
@@ -45,13 +54,17 @@ def main():
                 float(m.group(4))
             if g not in groups:
                 continue
+            if any(q.startswith(s) for s in stale):
+                print(f"skip stale (pre-dense-odd layout) {g}_{q} in {lg}")
+                continue
             dt = us * 1e-6
             floor = packed_bytes(cfg, g, q) / 850e9
             if dt < floor:
                 print(f"drop glitch {g}_{q}{alt or ''}: {us:.1f} us "
                       f"(< roofline {floor * 1e6:.1f})")
                 continue
-            (measured_alt if alt else measured)[f"{g}_{q}"] = dt
+            d = measured_alt if alt else measured
+            d.setdefault(f"{g}_{q}", dt)
 
     samples = [(family_of(q_g.split("_", 1)[1]),
                 packed_bytes(cfg, q_g.split("_", 1)[0],
@@ -64,20 +77,44 @@ def main():
         print(f"  {f}: launch {a * 1e6:.1f} us, {1 / b / 1e9:.0f} GB/s")
 
     # constant = non-projection per-token time (attention + norms +
-    # rotations + lm_head + sampling + scan tax), from the round-4 diag
-    # breakdown: fixed 705 us + 32 * ~30 us non-linear remainder
-    constant = 1.6e-3
+    # rotations + lm_head + sampling + scan tax).  Preserve the existing
+    # asset's bench-calibrated constant (+note) when present; override
+    # with QPT_LAT_CONSTANT.
+    out = "assets/3_8b_latency_coeffs_v5e.json"
+    constant, note = 1.6e-3, None
+    try:
+        old = json.load(open(out))
+        constant = old.get("constant", constant)
+        note = old.get("__constant_note__")
+    except OSError:
+        pass
+    env_c = os.environ.get("QPT_LAT_CONSTANT")
+    if env_c:
+        constant = float(env_c)
+        note = os.environ.get("QPT_LAT_CONSTANT_NOTE", note)
     table = build_lat_table(cfg, list(QDICT_LAT), fams, constant=constant)
+    # per-entry provenance (round-4 VERDICT #4): consumers can tell which
+    # coefficients are direct measurements vs family-fit interpolations
+    prov = {}
+    for k in list(table):
+        if not k.startswith("__") and k != "constant":
+            prov[k] = "fitted"
     for k, dt in measured.items():
         table[f"{k}_False"] = dt
+        prov[f"{k}_False"] = "measured"
     for k, dt in measured_alt.items():
         table[f"{k}_True"] = dt
+        prov[f"{k}_True"] = "measured"
     table["__source__"] = "measured-sample-fit (assembled from logs)"
     table["__impl__"] = "pallas_a8"
     table["__nodename__"] = "v5e"
-    out = "assets/3_8b_latency_coeffs_v5e.json"
+    if note:
+        table["__constant_note__"] = note
+    table["__provenance__"] = prov
     json.dump(table, open(out, "w"), indent=1)
-    print(f"saved {len(table)} keys to {out}")
+    nm = sum(1 for v in prov.values() if v == "measured")
+    print(f"saved {len(table)} keys to {out} "
+          f"({nm} measured / {len(prov) - nm} fitted)")
 
 
 if __name__ == "__main__":
