@@ -43,13 +43,28 @@ def fit_family_model(samples: List[Tuple[str, float, float]]):
 
 
 def family_of(qstr: str) -> str:
+    def _odd(q):
+        try:
+            return int(q.split("_")[1]) % 2 == 1
+        except (IndexError, ValueError):
+            return False
     if qstr.startswith("tcq2s"):
-        return "sum2"  # dense planar + halved MXU feed: fastest fit
+        # dense planar + halved MXU feed: fastest fit.  Odd KV uses the
+        # double-tile layout whose decode runs slower per byte than the
+        # even single-tile one (measured r5) — separate fit family.
+        return "sum2o" if _odd(qstr) else "sum2"
     if qstr.startswith(("tcq1", "tcq2")):
-        return "tcq1"  # arithmetic decode: different (faster) fit
+        return "tcq1o" if _odd(qstr) else "tcq1"
     if qstr.startswith(("tcq", "tcomb", "comb")):
         return "tcq"
     return "vq"
+
+
+# when a family has no measured samples, borrow the nearest one
+FAMILY_FALLBACK = {"sum2o": ("sum2", "tcq1o", "tcq1"),
+                   "tcq1o": ("tcq1", "sum2o", "sum2"),
+                   "sum2": ("sum2o", "tcq1"),
+                   "tcq1": ("tcq1o", "sum2")}
 
 
 def packed_bytes(cfg: LlamaConfig, group: str, qstr: str) -> float:
@@ -76,7 +91,8 @@ def build_lat_table(cfg: LlamaConfig, qlist: List[str],
         for q in qlist:
             fam = family_of(q)
             if fam not in family_params:  # e.g. tcq1 not sampled yet
-                for fb in ("tcq1", "tcq", "vq"):
+                for fb in (FAMILY_FALLBACK.get(fam, ())
+                           + ("tcq1", "tcq", "vq")):
                     if fb in family_params:
                         fam = fb
                         break

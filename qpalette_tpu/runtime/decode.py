@@ -35,7 +35,16 @@ def sample_logits(logits: jax.Array, key: jax.Array, temperature: float,
         # gumbel-argmax over the top-k-masked vocab, but the gumbel draw
         # is (B, k) instead of (B, vocab) — full-vocab threefry + argmax
         # cost ~1 ms/token on a 128k vocab (v5e measurement).
-        v, idx = jax.lax.top_k(logits, top_k)
+        # approx_max_k is the TPU-native top-k (TPU paper's recall-target
+        # algorithm): much cheaper than the exact sort on a 128k vocab;
+        # QPT_EXACT_TOPK=1 restores the exact lax.top_k.
+        import os
+        if logits.shape[-1] >= 4096 and \
+                os.environ.get("QPT_EXACT_TOPK") != "1":
+            v, idx = jax.lax.approx_max_k(logits, top_k,
+                                          recall_target=0.95)
+        else:
+            v, idx = jax.lax.top_k(logits, top_k)
         g = jax.random.gumbel(key, v.shape)
         choice = jnp.argmax(v + g, axis=-1)
         return jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0] \

@@ -141,17 +141,32 @@ def qlinear_apply(spec: LinearSpec, p: dict, z: jax.Array,
     # (tcq_linear.py:64-84) because its SIMT GEMV is row-serial; the TPU
     # arithmetic-trellis kernels feed an MXU dot whose M dimension is the
     # row count, so streaming packed weights stays cheaper than
-    # dequantize-to-HBM (~5x the packed bytes in bf16 writes+rereads) up
-    # to ~64 rows — which covers chunked-prefill admission in the serving
-    # engine (64-token chunks were 100x slower via the dequant path).
-    fused_rows = 64 if spec.kind in ("tcq1", "tcq2") else 8
+    # dequantize-to-HBM up to a few hundred rows — covering chunked-
+    # prefill admission in the serving engine in ONE dispatch per chunk.
+    fused_rows = 256 if spec.kind in ("tcq1", "tcq2") else 8
     if spec.impl in ("pallas", "pallas_a8") and z.shape[0] <= fused_rows:
         from qpalette_tpu.kernels import fused
         y = fused.decode_matmul(spec, p, z, luts, pre_rot=pre_rot)
+    elif (spec.impl == "pallas_a8" and spec.kind in ("tcq1", "tcq2")):
+        # very large rows, int8-activation path: chunk rows through the
+        # fused kernel (re-streams packed weights once per chunk — still
+        # far below the dequantized bf16 bytes) and ride the MXU's 2x
+        # int8 rate; per-chunk activation absmax is also tighter than one
+        # global scale
+        from qpalette_tpu.kernels import fused
+        N, n = z.shape
+        CH = fused_rows
+        pad = (-N) % CH
+        zp = jnp.pad(z, ((0, pad), (0, 0))) if pad else z
+        zc = zp.reshape(-1, CH, n)
+        y = jax.lax.map(lambda zz: fused.decode_matmul(spec, p, zz, luts),
+                        zc)
+        y = y.reshape(-1, spec.out_features)[:N]
     elif spec.impl in ("pallas", "pallas_a8"):
-        # large-row fallback: kernel-order dequant once + MXU matmul; the
-        # activation/output sides absorb the layout permutations (the
-        # natural-order weight relayout was ~100x slower than the stream)
+        # large-row exact path: kernel-order dequant once + bf16 MXU
+        # matmul; the activation/output sides absorb the layout
+        # permutations (the natural-order weight relayout was ~100x
+        # slower than the stream)
         from qpalette_tpu.kernels import fused
         y = fused.dequant_matmul(spec, p, z, luts)
     else:

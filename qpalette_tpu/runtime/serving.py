@@ -90,7 +90,7 @@ class ContinuousBatcher:
     def __init__(self, spec, params, n_slots: int = 4, max_seq: int = 512,
                  temperature: float = 0.6, top_k: Optional[int] = 5,
                  eos_id: Optional[int] = None, seed: int = 0,
-                 prefill_chunk: int = 64):
+                 prefill_chunk: int = 256):
         self.spec, self.params = spec, params
         self.n_slots, self.max_seq = n_slots, max_seq
         self.prefill_chunk = prefill_chunk

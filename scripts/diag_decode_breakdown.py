@@ -39,7 +39,7 @@ def sync(x):
     np.asarray(jax.device_get(x))
 
 
-def time_scan(fn, *arrs, lo=16, hi=64):
+def time_scan(fn, *arrs, lo=64, hi=256):
     """fn(x, *rest) -> y; returns seconds per call via slope."""
     def mkloop(reps):
         def loop(x, *rest):

@@ -124,6 +124,25 @@ def probe_large_rows():
                   f"{fl / dt / 1e12:6.1f} TFLOP/s", flush=True)
 
 
+def probe_fused_rows():
+    """Fused decode at larger row counts (serving prefill chunks)."""
+    from qpalette_tpu.kernels import formats as kf
+    from qpalette_tpu.kernels import fused
+    print("== fused decode vs rows (ug tcq2s_6, a8) ==", flush=True)
+    m, k, KV = 28672, 4096, 6
+    key = jax.random.PRNGKey(3)
+    tr = jax.random.bits(key, ((m // 16) * (k // 16), 4 * KV), jnp.uint32)
+    trpl = kf.tcq2_planar_weights(tr, m, k, KV)
+    for N in (1, 8, 64, 128, 256):
+        x = jnp.zeros((N, k), jnp.bfloat16)
+        fn = lambda xx, tp: fused.tcq2_decode_matmul(
+            xx, tp, KV, m, k, a8=True, mode="sum2")
+        dt = slope_time(fn, (x, trpl), reps=30)
+        print(f"N={N:4d}: {dt * 1e6:8.1f} us  "
+              f"{N * m * k * 2 / dt / 1e12:6.1f} TOP/s  "
+              f"({m * k * 3 / 8 / dt / 1e9:.0f} GB/s stream)", flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("all", "fused"):
@@ -132,3 +151,5 @@ if __name__ == "__main__":
         probe_dequant()
     if which in ("all", "rows"):
         probe_large_rows()
+    if which in ("all", "frows"):
+        probe_fused_rows()

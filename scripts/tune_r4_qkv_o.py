@@ -27,7 +27,7 @@ SHAPES = [("qkv", 6144, 4096, 6), ("o", 4096, 4096, 6),
 GRID = {
     "tk": (32, 64, 128),
     "wm": (128, 256, 384),
-    "cc": (8, 16),
+    "cc": (8,),
     "pingpong": (True, False),
 }
 

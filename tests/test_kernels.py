@@ -47,7 +47,7 @@ def test_vq_fused_matches_reference(bits, vec, m, k, N):
 
 @pytest.mark.parametrize("KV,m,k,N", [
     (4, 128, 64, 1),
-    (3, 128, 64, 2),
+    pytest.param(3, 128, 64, 2, marks=pytest.mark.slow),
     pytest.param(7, 64, 128, 1, marks=pytest.mark.skipif(
         not os.environ.get("QPT_SLOW"), reason="slow interpret test")),
     pytest.param(10, 64, 128, 1, marks=pytest.mark.skipif(
@@ -402,7 +402,10 @@ def test_dense_odd_layout_sizes():
     assert not kf.planar_dense_odd(5, 16)
 
 
-@pytest.mark.parametrize("KV,mode", [(5, "sum2"), (5, "dualmad")])
+@pytest.mark.parametrize("KV,mode", [
+    (5, "sum2"),
+    pytest.param(5, "dualmad", marks=pytest.mark.slow),
+])
 def test_dense_odd_dequant_matmul_large_rows(KV, mode):
     """Large-row kernel-order dequant+matmul == executable spec for the
     dense odd-KV layout (the ctx-8192 / serving-admission path)."""
@@ -444,3 +447,25 @@ def test_dense_odd_fused_rotation_prologue():
     rel = np.abs(np.asarray(got) - np.asarray(ref)).max() \
         / (np.abs(np.asarray(ref)).max() + 1e-9)
     assert rel < 1e-4, rel
+
+
+def test_chunked_fused_a8_large_rows_matches():
+    """rows > fused cutoff on the a8 path chunk through the fused kernel
+    (lax.map) — must match the small-row fused result."""
+    from qpalette_tpu.runtime.qlinear import LinearSpec, qlinear_apply
+    KV, m, k = 6, 64, 128
+    rng = np.random.default_rng(60)
+    words = rng.integers(0, 1 << 32, ((m // 16) * (k // 16), 4 * KV),
+                         dtype=np.uint32)
+    tr_pl = kf.tcq2_planar_weights(jnp.asarray(words), m, k, KV)
+    spec = LinearSpec("tcq2", in_features=k, out_features=m, KV=(KV,),
+                      mode="sum2", impl="pallas_a8")
+    p = {"trellis_pl": tr_pl, "wscale": jnp.ones((m,), jnp.float32)}
+    x2 = jnp.asarray(rng.standard_normal((2, k)).astype(np.float32)
+                     ).astype(jnp.bfloat16)
+    xbig = jnp.tile(x2, (150, 1))  # 300 rows > 256 cutoff
+    y2 = np.asarray(qlinear_apply(spec, p, x2).astype(jnp.float32))
+    ybig = np.asarray(qlinear_apply(spec, p, xbig).astype(jnp.float32))
+    assert ybig.shape == (300, m)
+    assert np.allclose(ybig[:2], y2, atol=3e-2, rtol=3e-2), \
+        np.abs(ybig[:2] - y2).max()

@@ -240,6 +240,7 @@ def test_int8_lm_head_close_to_bf16(dense_setup, tmp_path):
     assert rel2 < 0.02, rel2
 
 
+@pytest.mark.slow  # >35 s interpret-mode
 def test_a8_impl_logits_close_to_exact_bench_mix(tmp_path):
     """End-to-end logits delta of impl=pallas_a8 (int8-activation MXU
     path) vs impl=pallas (exact bf16 byte-sum) on the BENCH-mix scheme
@@ -266,6 +267,7 @@ def test_a8_impl_logits_close_to_exact_bench_mix(tmp_path):
     assert d / scale < 0.05, d / scale
 
 
+@pytest.mark.slow  # >35 s interpret-mode
 def test_lm_head_4bit_trellis(dense_setup, tmp_path):
     """4-bit tcq2s lm_head (lm_head_bits=4): decode + prefill logits
     track the bf16 head, and ce_loss agrees with forward()'s own CE."""
