@@ -527,11 +527,18 @@ def _arith_kernel(x_ref, tr_ref, o_ref, d0, d1, *, KV, tk, wm, cc, NP,
     a8=False: bytes ride the MXU as exact bf16 (int8 values convert
     losslessly) against repeat(x, 4 or 2) — bit-exact decode.
     a8=True: bytes stay int8 and the dot runs the MXU's native
-    int8 x int8 -> int32 path against activations pre-quantized to int8
-    (global absmax scale).  ~2.2x the bf16-path throughput measured on
-    v5e (scripts/proto_fold2.py); activation quantization adds ~0.9 %
-    RMS on the rotated activations (incoherence makes them near-Gaussian,
-    so the W8A8-style error is far below the 3-bit weight error).
+    int8 x int8 -> int32 path.  The activation quantization is fused
+    IN-KERNEL (round 5): x arrives f32, each grid-j step computes its
+    k-chunk's absmax scale, quantizes to int8 on the VPU, and
+    accumulates the int32 dot into the f32 output scaled by that chunk's
+    sx_j.  This deletes the per-call XLA abs-reduce + round/convert +
+    descale passes (~140 us/token across the 129 decode-step linears,
+    jax.profiler trace 2026-08-21) and tightens accuracy: per-k-chunk
+    scales bound the quantization error by the chunk's own absmax, not
+    the global one.  ~2.2x the bf16-path throughput measured on v5e
+    (scripts/proto_fold2.py); incoherence keeps rotated activations
+    near-Gaussian so the W8A8-style error stays far below the 3-bit
+    weight error.
 
     pingpong=True decodes alternate chunks into two scratch buffers so
     Mosaic can overlap chunk c's dot with chunk c+1's decode (they have
@@ -575,6 +582,16 @@ def _arith_kernel(x_ref, tr_ref, o_ref, d0, d1, *, KV, tk, wm, cc, NP,
                     _mad_scramble(u, mode) ^ XOR
 
     x = x_ref[0]  # (N, 4*tpr*tk)
+    sx = None
+    if a8:
+        # in-kernel activation quantization: this grid-j step's k-chunk
+        # absmax scale; the int32 dot accumulates into o_ref scaled by
+        # it.  sx stays a (1, 1) vector value end-to-end (scalar
+        # extraction + re-broadcast costs a serializing ~100-cycle round
+        # trip per grid step on Mosaic)
+        sx = (jnp.max(jnp.abs(x), axis=(0, 1), keepdims=True) / 127.0
+              + 1e-30)
+        x = jnp.round(x * (1.0 / sx)).astype(jnp.int8)
     acc = None
     for c in range(tk // cc):
         c0 = c * cc
@@ -599,8 +616,10 @@ def _arith_kernel(x_ref, tr_ref, o_ref, d0, d1, *, KV, tk, wm, cc, NP,
         part = jax.lax.dot_general(
             x[:, c0 * 4 * tpr:(c0 + cc) * 4 * tpr], hmat,
             (((1,), (0,)), ((), ())),
-            preferred_element_type=o_ref.dtype)
+            preferred_element_type=jnp.int32 if a8 else o_ref.dtype)
         acc = part if acc is None else acc + part
+    if a8:  # descale this chunk's int32 sum into the f32 accumulator
+        acc = acc.astype(jnp.float32) * sx
 
     @pl.when(j == 0)
     def _():
@@ -801,12 +820,11 @@ def _arith_decode_matmul(x, tr_pl, KV: int, mode: str, m: int, k: int,
         sumx = (jnp.sum(xp.astype(jnp.float32), axis=(0, 2))[None, :].T
                 / 4.0) if pre_rot is not None else \
             jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
-    sx = None
     if a8:
-        sx = (jnp.max(jnp.abs(xp.astype(jnp.float32)))
-              / 127.0 + 1e-30).astype(jnp.float32)
-        xp = jnp.round(xp.astype(jnp.float32) / sx).astype(jnp.int8)
-        odtype = jnp.int32
+        # activation quantization happens IN-KERNEL (per-k-chunk scales,
+        # see _arith_kernel); pass f32 and accumulate f32
+        xp = xp.astype(jnp.float32)
+        odtype = jnp.float32
     else:
         xp = xp.astype(DDT)
         odtype = ACC
@@ -837,8 +855,6 @@ def _arith_decode_matmul(x, tr_pl, KV: int, mode: str, m: int, k: int,
         interpret=interp,
     )(xp, tr_pl)
     out = out.astype(jnp.float32)
-    if a8:
-        out = out * sx
     if not v2:  # XOR'd bytes: signed sum = unsigned - 512 => +2 epilogue
         out = (out + 2.0 * sumx) * _MAD_INV
     else:

@@ -24,6 +24,7 @@ def main():
     ap.add_argument("--prompt_len", type=int, default=128)
     ap.add_argument("--new_tokens", type=int, default=64)
     ap.add_argument("--requests", type=int, default=8)
+    ap.add_argument("--prefill_chunk", type=int, default=256)
     args = ap.parse_args()
 
     import jax
@@ -54,7 +55,7 @@ def main():
     rng = np.random.default_rng(0)
     b = ContinuousBatcher(spec, params, n_slots=args.slots,
                           max_seq=args.prompt_len + args.new_tokens + 8,
-                          prefill_chunk=64)
+                          prefill_chunk=args.prefill_chunk)
     # warm compile: one FULL-shape request end-to-end (the burst scan is
     # jitted per static burst length — warming with a shorter budget
     # would leave the steady-state burst compile inside the timed loop)
@@ -92,6 +93,8 @@ def main():
         "value": round(toks / dt / scale, 2),
         "unit": "tokens/s",
         "raw_tokens": toks, "seconds": round(dt, 2),
+        "admission_s": round(admit_t[0], 2),
+        "prefill_chunk": args.prefill_chunk,
     }))
 
 
