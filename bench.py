@@ -54,11 +54,11 @@ def main():
     solved_dir = os.environ.get(
         "QPT_BENCH_QDICT_DIR",
         "msq_results/3_8b/lat_constrained/v5e/default_err")
-    # default = the 195-target solve: measured the same 196 tok/s as the
-    # 200-target one (odd-KV tcq2s_5 stores in the ALIGNED planar layout,
-    # so its real stream matches 3-bit) while keeping more weight bits
-    # (3.02 vs 2.89 avg -> lower solver err 3.53 vs 4.14)
-    solved_tag = os.environ.get("QPT_BENCH_QDICT_TAG", "195.0thp_cc")
+    # default = the 215-target solve over the round-5 honest-odd-KV
+    # latency table (2.91-bit avg, all even-KV tcq2s picked on merit):
+    # 198.2 tok/s mean-of-3 vs 196.9 (195-target) / 196.1 (210-target)
+    # measured same-session 2026-08-21
+    solved_tag = os.environ.get("QPT_BENCH_QDICT_TAG", "215.0thp_cc")
     solved_qd = solved_mi = None
     if scheme == "solved":
         qp = os.path.join(solved_dir, f"{solved_tag}.json")

@@ -59,19 +59,22 @@ def _pool_burst(spec, params, tokens, caches, positions, active, key,
 
 
 @functools.partial(jax.jit, static_argnames=("spec",))
-def _prefill_slot(spec, params, caches, slot, tokens, pos0):
-    """Write one slot's prompt chunk into the pool caches.
+def _prefill_slots(spec, params, caches, slots, tokens, pos0):
+    """Batched admission: several slots' prompt chunks in ONE dispatch.
 
-    tokens (1, C) at positions [pos0, pos0+C); the slot's cache rows are
-    sliced out, run through the normal incremental forward, and written
-    back — one dispatch per chunk instead of per token (admission cost
-    O(prompt/C) model steps)."""
-    sliced = [tuple(jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=0)
-                    for c in kv) for kv in caches]
+    slots (B',) int32; tokens (B', C); pos0 (B',) per-slot start
+    positions (models/llama.forward handles vector cache_pos).  The
+    slots' cache rows are gathered, run through one batched forward, and
+    scattered back — admission cost for a burst of arrivals drops from
+    one model dispatch per request to one per (distinct chunk shape)."""
+    sliced = [tuple(jnp.take(c, slots, axis=0) for c in kv)
+              for kv in caches]
+    # return_hidden: admission only needs the KV writes — skip the
+    # lm_head entirely (the int8 head's prefill path would otherwise
+    # materialize the dequantized f32 table and full per-position logits)
     _, new_sliced = llama.forward(spec, params, tokens, kv_caches=sliced,
-                                  cache_pos=pos0)
-    return [tuple(jax.lax.dynamic_update_slice_in_dim(c, cn, slot, axis=0)
-                  for c, cn in zip(kv, kvn))
+                                  cache_pos=pos0, return_hidden=True)
+    return [tuple(c.at[slots].set(cn) for c, cn in zip(kv, kvn))
             for kv, kvn in zip(caches, new_sliced)]
 
 
@@ -112,33 +115,50 @@ class ContinuousBatcher:
         return rid
 
     def _admit(self):
+        # assign waiting requests to free slots, then prefill their
+        # prompt contexts in chunk ROUNDS: within each round, all chunks
+        # of equal length batch into ONE _prefill_slots dispatch
+        # (admission for a burst of arrivals costs one model dispatch per
+        # distinct chunk shape, not one per request)
+        admitted = []
         for slot in range(self.n_slots):
             if self.slot_req[slot] is None and self.queue:
                 req = self.queue.pop(0)
                 self.slot_req[slot] = req
-                # chunked prefill: the prompt context goes through
-                # prefill_chunk-wide forwards on this slot's sliced caches
-                # (one dispatch per chunk; an exact-size tail chunk avoids
-                # padded writes past the context)
                 self.positions[slot] = 0
-                ctx = req.prompt[:-1]
-                C = self.prefill_chunk
-                pos = 0
-                for c0 in range(0, (len(ctx) // C) * C, C):
-                    self._prefill_chunk(slot, ctx[c0:c0 + C], pos)
-                    pos += C
-                tail = ctx[(len(ctx) // C) * C:]
-                if tail:
-                    self._prefill_chunk(slot, tail, pos)
-                    pos += len(tail)
-                self.positions[slot] = pos
-                self.cur[slot, 0] = req.prompt[-1]
-
-    def _prefill_chunk(self, slot: int, tokens, pos: int):
-        self.caches = _prefill_slot(
-            self.spec, self.params, self.caches, jnp.int32(slot),
-            jnp.asarray(np.array(tokens, np.int32)[None, :]),
-            jnp.int32(pos))
+                admitted.append(slot)
+        if not admitted:
+            return
+        C = self.prefill_chunk
+        chunks = {}  # slot -> list of (tokens, pos)
+        for slot in admitted:
+            req = self.slot_req[slot]
+            ctx = req.prompt[:-1]
+            lst = []
+            pos = 0
+            for c0 in range(0, (len(ctx) // C) * C, C):
+                lst.append((ctx[c0:c0 + C], pos))
+                pos += C
+            tail = ctx[(len(ctx) // C) * C:]
+            if tail:
+                lst.append((tail, pos))
+                pos += len(tail)
+            chunks[slot] = lst
+            self.positions[slot] = pos
+            self.cur[slot, 0] = req.prompt[-1]
+        rounds = max(len(v) for v in chunks.values())
+        for r in range(rounds):
+            by_len: Dict[int, List[int]] = {}
+            for slot, lst in chunks.items():
+                if r < len(lst):
+                    by_len.setdefault(len(lst[r][0]), []).append(slot)
+            for L, slots in by_len.items():
+                toks = np.array([chunks[s][r][0] for s in slots], np.int32)
+                pos0 = np.array([chunks[s][r][1] for s in slots], np.int32)
+                self.caches = _prefill_slots(
+                    self.spec, self.params, self.caches,
+                    jnp.asarray(np.array(slots, np.int32)),
+                    jnp.asarray(toks), jnp.asarray(pos0))
 
     def step(self):
         """One decode step across all active slots."""

@@ -56,11 +56,13 @@ def main():
     b = ContinuousBatcher(spec, params, n_slots=args.slots,
                           max_seq=args.prompt_len + args.new_tokens + 8,
                           prefill_chunk=args.prefill_chunk)
-    # warm compile: one FULL-shape request end-to-end (the burst scan is
-    # jitted per static burst length — warming with a shorter budget
-    # would leave the steady-state burst compile inside the timed loop)
-    b.submit(list(rng.integers(0, 1000, args.prompt_len)),
-             args.new_tokens)
+    # warm compile: a FULL slot pool of requests end-to-end (the burst
+    # scan is jitted per static burst length and batched admission per
+    # (batch, chunk) shape — warming with fewer would leave steady-state
+    # compiles inside the timed loop)
+    for _ in range(args.slots):
+        b.submit(list(rng.integers(0, 1000, args.prompt_len)),
+                 args.new_tokens)
     b.run()
     b.finished.clear()
 
@@ -72,10 +74,14 @@ def main():
     _admit0 = b._admit
 
     def timed_admit():
+        # only sync/time when something was actually admitted — an
+        # unconditional device sync here costs one ~35 ms tunnel RTT per
+        # scheduler loop iteration and bills it all to "admission"
+        if not b.queue:
+            _admit0()
+            return
         t = time.perf_counter()
         _admit0()
-        import jax as _jax
-        _jax.block_until_ready(b.caches[0][0])
         np.asarray(b.caches[0][0][0, 0, 0, :1])
         admit_t[0] += time.perf_counter() - t
     b._admit = timed_admit
